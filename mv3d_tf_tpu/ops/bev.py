@@ -1,0 +1,142 @@
+"""BEV rasterization: Velodyne point cloud -> (601, 601, 9) bird's-eye tensor.
+
+Replaces the reference's offline host loop (tools/read_lidar.py:10-115 and
+its near-duplicate lib/utils/read_lidar.py) with an on-device, batchable,
+jit-compiled scatter pipeline, plus a faithful numpy twin for golden tests
+and host-side preprocessing parity.
+
+Reference semantics replicated exactly:
+  * channels 0..7: height above -2 m of the LAST point (file order) that
+    falls in the cell for each 0.3 m z-slice — last-write-wins numpy fancy
+    indexing, NOT a max (read_lidar.py:110);
+  * channel 8: reflectance, overwritten per slice loop iteration, so the
+    winner is the last point of the highest-indexed slice touching the cell
+    (read_lidar.py:113);
+  * despite the docstring (read_lidar.py:40) there is NO density channel;
+  * strict range filters x in (0,60), y in (-30,30) (read_lidar.py:58-62),
+    int32 truncation toward zero for pixel coords (read_lidar.py:96-97).
+
+The JAX version expresses last-write-wins as a deterministic two-pass
+scatter (scatter-max of the point ordinal, then a winner-only value
+scatter) — duplicate-index `.at[].set` order is undefined in XLA, so
+parity needs the explicit winner resolution.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mv3d_tf_tpu.geometry import (BEV_C, BEV_H, BEV_W, HEIGHT_MAX, HEIGHT_MIN,
+                                  N_SLICES, RES, TOP_X_MAX, TOP_X_MIN,
+                                  TOP_Y_MAX, TOP_Y_MIN, ZRES)
+
+# the exact slice boundaries the reference enumerates (read_lidar.py:80)
+SLICE_STARTS = np.arange(HEIGHT_MIN, HEIGHT_MAX, ZRES)   # 8 floats
+_X_SHIFT = -int(np.floor(-TOP_Y_MAX / RES))              # +300 (x_img shift)
+_Y_SHIFT = int(np.floor(TOP_X_MAX / RES))                # +600 (y_img shift)
+
+
+def point_cloud_2_top_np(points,
+                         res=RES, zres=ZRES,
+                         side_range=(-TOP_Y_MAX, TOP_Y_MAX),
+                         fwd_range=(TOP_X_MIN, TOP_X_MAX),
+                         height_range=(HEIGHT_MIN, HEIGHT_MAX)):
+    """Faithful numpy twin of the reference BEV generator (read_lidar.py:10-115).
+
+    points: (N, 4) float32 [x, y, z, reflectance]. Returns (601, 601, 9) f32.
+    """
+    x, y, z, r = points[:, 0], points[:, 1], points[:, 2], points[:, 3]
+    x_max = int((side_range[1] - side_range[0]) / res)
+    y_max = int((fwd_range[1] - fwd_range[0]) / res)
+    z_max = int((height_range[1] - height_range[0]) / zres)
+    top = np.zeros([y_max + 1, x_max + 1, z_max + 1], dtype=np.float32)
+
+    f_filt = np.logical_and(x > fwd_range[0], x < fwd_range[1])
+    s_filt = np.logical_and(y > -side_range[1], y < -side_range[0])
+    filt = np.logical_and(f_filt, s_filt)
+
+    for i, height in enumerate(np.arange(height_range[0], height_range[1],
+                                         zres)):
+        zf = np.logical_and(z >= height, z < height + zres)
+        idx = np.argwhere(np.logical_and(filt, zf)).flatten()
+        xi, yi, zi, ri = x[idx], y[idx], z[idx], r[idx]
+        x_img = (-yi / res).astype(np.int32) - int(np.floor(side_range[0] / res))
+        y_img = (-xi / res).astype(np.int32) + int(np.floor(fwd_range[1] / res))
+        top[y_img, x_img, i] = zi - height_range[0]
+        top[y_img, x_img, z_max] = ri
+    return top
+
+
+@functools.partial(jax.jit, static_argnames=())
+def point_cloud_2_top(points, valid):
+    """On-device BEV rasterization with exact last-write-wins parity.
+
+    points: (N, 4) f32 padded point cloud; valid: (N,) bool mask of real
+    points (pad rows are ignored). Returns (601, 601, 9) f32.
+
+    Fixed shapes: N is static (pad each scan to a bucket, e.g. 131072).
+    """
+    points = jnp.asarray(points, jnp.float32)
+    x, y, z, r = points[:, 0], points[:, 1], points[:, 2], points[:, 3]
+    n = points.shape[0]
+    order = jnp.arange(n, dtype=jnp.int32)
+
+    in_range = (valid
+                & (x > TOP_X_MIN) & (x < TOP_X_MAX)
+                & (y > -TOP_Y_MAX) & (y < TOP_Y_MAX))
+
+    # pixel coords, int32 truncation toward zero (read_lidar.py:96-103)
+    x_img = (-y / RES).astype(jnp.int32) + _X_SHIFT
+    y_img = (-x / RES).astype(jnp.int32) + _Y_SHIFT
+    cell = y_img * BEV_W + x_img
+    n_flat = BEV_H * BEV_W * BEV_C
+    # out-of-range points scatter into a dummy slot past the raster
+    dump = jnp.int32(n_flat)
+
+    # each point belongs to at most ONE height slice, so all 8 height
+    # channels share a single fused scatter into cell*9 + slice
+    slice_idx = jnp.full(n, -1, jnp.int32)
+    for i, h0 in enumerate(SLICE_STARTS):
+        m = (z >= h0) & (z < h0 + ZRES)
+        slice_idx = jnp.where(m, i, slice_idx)
+    live = in_range & (slice_idx >= 0)
+
+    flat = jnp.zeros(n_flat + 1, jnp.float32)
+
+    # height channels: winner = max point ordinal (last in file order)
+    seg_h = jnp.where(live, cell * BEV_C + slice_idx, dump)
+    win_h = jnp.full(n_flat + 1, -1, jnp.int32).at[seg_h].max(order)
+    seg_hw = jnp.where(live & (win_h[seg_h] == order), seg_h, dump)
+    flat = flat.at[seg_hw].set(z - HEIGHT_MIN)
+
+    # intensity channel (read_lidar.py:113 rewrites it every slice
+    # iteration): winner = (slice, ordinal)-lexicographic max
+    key = slice_idx * n + order
+    seg_i = jnp.where(live, cell * BEV_C + N_SLICES, dump)
+    win_i = jnp.full(n_flat + 1, -(n * N_SLICES), jnp.int32).at[seg_i].max(key)
+    seg_iw = jnp.where(live & (win_i[seg_i] == key), seg_i, dump)
+    flat = flat.at[seg_iw].set(r)
+
+    return flat[:n_flat].reshape(BEV_H, BEV_W, BEV_C)
+
+
+# batched variant: (B, N, 4) points + (B, N) valid -> (B, 601, 601, 9)
+point_cloud_2_top_batch = jax.jit(jax.vmap(point_cloud_2_top))
+
+
+def pad_points(points, bucket=131072):
+    """Host helper: pad/trim one (N,4) scan to a static bucket + valid mask."""
+    n = min(points.shape[0], bucket)
+    out = np.zeros((bucket, 4), np.float32)
+    out[:n] = points[:n]
+    valid = np.zeros((bucket,), bool)
+    valid[:n] = True
+    return out, valid
+
+
+def load_velodyne(path):
+    """Read a KITTI velodyne .bin (N,4 float32). read_lidar.py:128-129."""
+    scan = np.fromfile(path, dtype=np.float32)
+    return scan.reshape(-1, 4)
