@@ -1,0 +1,123 @@
+"""Fixed-shape greedy NMS, fully in-graph.
+
+Replaces the reference's host NMS stack (lib/nms/cpu_nms.pyx:17-68 greedy
+CPU, lib/nms/nms_kernel.cu bitmask GPU, lib/fast_rcnn/nms_wrapper.py
+dispatch) with a jit-pure lax.fori_loop that produces the EXACT same keep
+set as the Cython greedy algorithm (suppression when IoU >= thresh,
++1 area convention), padded to a static output size with a validity mask.
+
+The loop runs max_out sequential steps; each step is one O(N) vector op
+(select best remaining, suppress its neighborhood), so there is no O(N^2)
+IoU matrix in memory and no host round-trip.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mv3d_tf_tpu.ops.iou import iou_one_to_many
+
+NEG_INF = jnp.float32(-1e30)
+
+
+@functools.partial(jax.jit, static_argnames=("max_out",))
+def nms(boxes, scores, valid, max_out, iou_threshold=0.7):
+    """Greedy NMS with static shapes.
+
+    Args:
+      boxes: (N, 4) float32 [x1,y1,x2,y2].
+      scores: (N,) float32.
+      valid: (N,) bool — padded/filtered entries never win.
+      max_out: static int, number of output slots (post-NMS top-N).
+      iou_threshold: suppress when IoU >= this (cpu_nms.pyx:65 semantics).
+
+    Returns:
+      keep_idx: (max_out,) int32 indices into the input arrays (0 when
+        the slot is unused), keep_valid: (max_out,) bool.
+    """
+    boxes = jnp.asarray(boxes, jnp.float32)
+    n = boxes.shape[0]
+    active = valid & jnp.isfinite(scores)
+    masked_scores = jnp.where(active, scores, NEG_INF)
+
+    def body(i, carry):
+        act, msk, keep_idx, keep_val = carry
+        best = jnp.argmax(msk)                   # highest remaining score
+        found = msk[best] > NEG_INF
+        iou = iou_one_to_many(boxes[best], boxes)
+        # suppress the chosen box and everything with IoU >= thresh
+        sup = found & (iou >= iou_threshold)
+        act2 = act & ~sup
+        msk2 = jnp.where(act2, msk, NEG_INF)
+        keep_idx = keep_idx.at[i].set(jnp.where(found, best, 0).astype(jnp.int32))
+        keep_val = keep_val.at[i].set(found)
+        return act2, msk2, keep_idx, keep_val
+
+    init = (active, masked_scores,
+            jnp.zeros((max_out,), jnp.int32),
+            jnp.zeros((max_out,), bool))
+    _, _, keep_idx, keep_val = jax.lax.fori_loop(0, max_out, body, init)
+    return keep_idx, keep_val
+
+
+def nms_np(dets, thresh):
+    """Host greedy oracle with the exact cpu_nms.pyx semantics (tests /
+    tiny host-side paths). dets: (N,5) [x1,y1,x2,y2,score] -> keep list."""
+    x1, y1, x2, y2, scores = (dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3],
+                              dets[:, 4])
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = scores.argsort()[::-1]
+    suppressed = np.zeros(dets.shape[0], bool)
+    keep = []
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(int(i))
+        xx1 = np.maximum(x1[i], x1)
+        yy1 = np.maximum(y1[i], y1)
+        xx2 = np.minimum(x2[i], x2)
+        yy2 = np.minimum(y2[i], y2)
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        inter = w * h
+        ovr = inter / (areas[i] + areas - inter)
+        suppressed |= ovr >= thresh
+    return keep
+
+
+def nms_new_np(dets, thresh):
+    """The reference's nms_new variant (lib/utils/nms.pyx:70-123): also
+    suppresses near-containment (inter/area > 0.95 either way)."""
+    x1, y1, x2, y2, scores = (dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3],
+                              dets[:, 4])
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = scores.argsort()[::-1]
+    suppressed = np.zeros(dets.shape[0], bool)
+    keep = []
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(int(i))
+        xx1 = np.maximum(x1[i], x1)
+        yy1 = np.maximum(y1[i], y1)
+        xx2 = np.minimum(x2[i], x2)
+        yy2 = np.minimum(y2[i], y2)
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        inter = w * h
+        ovr = inter / (areas[i] + areas - inter)
+        ovr1 = inter / areas
+        ovr2 = inter / areas[i]
+        suppressed |= (ovr >= thresh) | (ovr1 > 0.95) | (ovr2 > 0.95)
+    return keep
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def top_k_by_score(scores, valid, k):
+    """Score-ordered top-k with validity propagation (the reference's
+    argsort + [:pre_nms_topN] step, proposal_layer_tf.py:161-167)."""
+    masked = jnp.where(valid, scores, NEG_INF)
+    vals, idx = jax.lax.top_k(masked, k)
+    return idx.astype(jnp.int32), vals > NEG_INF

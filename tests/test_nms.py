@@ -1,0 +1,93 @@
+"""NMS keep-set equivalence vs the greedy Cython-semantics oracle,
+and IoU matrix vs a loop oracle."""
+
+import numpy as np
+
+from mv3d_tf_tpu.ops.iou import bbox_overlaps
+from mv3d_tf_tpu.ops.nms import nms, nms_np, top_k_by_score
+
+
+def _rand_dets(rng, n, span=200.0):
+    x1 = rng.uniform(0, span, n)
+    y1 = rng.uniform(0, span, n)
+    w = rng.uniform(5, 60, n)
+    h = rng.uniform(5, 60, n)
+    # unique scores so greedy ordering is unambiguous across sort algorithms
+    scores = rng.permutation(n).astype(np.float32) / n + 0.001
+    return np.stack([x1, y1, x1 + w, y1 + h, scores], 1).astype(np.float32)
+
+
+def _iou_oracle(boxes, query):
+    out = np.zeros((len(boxes), len(query)))
+    for k, q in enumerate(query):
+        qa = (q[2] - q[0] + 1) * (q[3] - q[1] + 1)
+        for n, b in enumerate(boxes):
+            iw = min(b[2], q[2]) - max(b[0], q[0]) + 1
+            ih = min(b[3], q[3]) - max(b[1], q[1]) + 1
+            if iw > 0 and ih > 0:
+                ba = (b[2] - b[0] + 1) * (b[3] - b[1] + 1)
+                out[n, k] = iw * ih / (ba + qa - iw * ih)
+    return out
+
+
+def test_bbox_overlaps_oracle(rng):
+    boxes = _rand_dets(rng, 40)[:, :4]
+    query = _rand_dets(rng, 17)[:, :4]
+    got = np.asarray(bbox_overlaps(boxes, query))
+    np.testing.assert_allclose(got, _iou_oracle(boxes, query), rtol=1e-5)
+
+
+def test_nms_matches_greedy_oracle(rng):
+    for trial in range(5):
+        dets = _rand_dets(rng, 200, span=150.0)   # dense -> many suppressions
+        for thresh in (0.3, 0.5, 0.7):
+            exp = nms_np(dets, thresh)
+            idx, val = nms(dets[:, :4], dets[:, 4],
+                           np.ones(len(dets), bool), 200, thresh)
+            got = list(np.asarray(idx)[np.asarray(val)])
+            assert got == exp, f"trial {trial} thresh {thresh}"
+
+
+def test_nms_respects_valid_mask(rng):
+    dets = _rand_dets(rng, 50)
+    valid = np.zeros(50, bool)
+    valid[:10] = True
+    idx, val = nms(dets[:, :4], dets[:, 4], valid, 50, 0.5)
+    kept = np.asarray(idx)[np.asarray(val)]
+    assert set(kept) <= set(range(10))
+    exp = nms_np(dets[:10], 0.5)
+    assert list(kept) == exp
+
+
+def test_nms_max_out_truncates(rng):
+    dets = _rand_dets(rng, 100, span=5000.0)      # sparse -> few suppressions
+    exp = nms_np(dets, 0.7)[:10]
+    idx, val = nms(dets[:, :4], dets[:, 4], np.ones(100, bool), 10, 0.7)
+    assert list(np.asarray(idx)[np.asarray(val)]) == exp
+    assert np.asarray(val).all()
+
+
+def test_nms_all_invalid():
+    boxes = np.zeros((8, 4), np.float32)
+    idx, val = nms(boxes, np.zeros(8, np.float32), np.zeros(8, bool), 4, 0.5)
+    assert not np.asarray(val).any()
+
+
+def test_nms_identical_boxes():
+    # all-same boxes: exactly one survivor regardless of threshold
+    boxes = np.tile(np.array([[10, 10, 50, 50]], np.float32), (20, 1))
+    scores = np.arange(20, dtype=np.float32)
+    idx, val = nms(boxes, scores, np.ones(20, bool), 20, 0.99)
+    kept = np.asarray(idx)[np.asarray(val)]
+    assert list(kept) == [19]
+
+
+def test_top_k_by_score(rng):
+    scores = rng.rand(100).astype(np.float32)
+    valid = rng.rand(100) > 0.3
+    idx, val = top_k_by_score(scores, valid, 20)
+    idx, val = np.asarray(idx), np.asarray(val)
+    n_valid = min(20, valid.sum())
+    assert val[:n_valid].all() and not val[n_valid:].any()
+    exp = np.argsort(np.where(valid, scores, -np.inf))[::-1][:n_valid]
+    np.testing.assert_array_equal(idx[:n_valid], exp)
