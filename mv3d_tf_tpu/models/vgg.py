@@ -1,0 +1,76 @@
+"""VGG16 trunk (stride-8 detection variant) as pure functions over a
+name-keyed param pytree.
+
+Matches the reference graph exactly (lib/networks/MV3D_train.py:44-78):
+13 SAME 3x3 convs + ReLU, only THREE 2x2/2 VALID max-pools (stride 8, the
+classic VGG16's pool4/pool5 are dropped), so BEV 601x601 -> 75x75 features.
+
+Params are a flat dict {layer_name: {'weights': (3,3,cin,cout) HWIO,
+'biases': (cout,)}} with the reference's exact layer names (conv1_1 ...
+conv5_3, image trunk suffixed `_2`), so the reference's .npy pretrained
+checkpoints import 1:1 (see utils/weights.py).
+"""
+
+import jax
+import jax.numpy as jnp
+
+# (name, out_channels, pool_after) — pool follows conv1_2, conv2_2, conv3_3
+VGG_LAYERS = (
+    ("conv1_1", 64, False), ("conv1_2", 64, True),
+    ("conv2_1", 128, False), ("conv2_2", 128, True),
+    ("conv3_1", 256, False), ("conv3_2", 256, False), ("conv3_3", 256, True),
+    ("conv4_1", 512, False), ("conv4_2", 512, False), ("conv4_3", 512, False),
+    ("conv5_1", 512, False), ("conv5_2", 512, False), ("conv5_3", 512, False),
+)
+
+_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(x, w, b, stride=1, padding="SAME", relu=True, dtype=None):
+    """TF-parity conv + bias (+ ReLU). network.py:108-132.
+
+    dtype=None keeps f32 with HIGHEST precision (parity mode); passing
+    bfloat16 uses the MXU's native reduced-precision path (fast mode).
+    """
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+        b = b.astype(dtype)
+    precision = (jax.lax.Precision.HIGHEST
+                 if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding=padding,
+        dimension_numbers=_DIMS, precision=precision)
+    y = y + b
+    return jax.nn.relu(y) if relu else y
+
+
+def max_pool_2x2_valid(x):
+    """2x2 stride-2 VALID max pool (network.py:181-188, models use VALID)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+        jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+def init_trunk(key, in_channels, suffix=""):
+    """Truncated-normal(0, 0.01) weights, zero biases (network.py:117-118)."""
+    params = {}
+    c_in = in_channels
+    for name, c_out, _ in VGG_LAYERS:
+        key, k = jax.random.split(key)
+        w = jax.random.truncated_normal(k, -2.0, 2.0,
+                                        (3, 3, c_in, c_out), jnp.float32) * 0.01
+        params[name + suffix] = {"weights": w,
+                                 "biases": jnp.zeros((c_out,), jnp.float32)}
+        c_in = c_out
+    return params
+
+
+def trunk_apply(params, x, suffix="", dtype=None):
+    """Run the 13-conv stride-8 trunk. Returns conv5_3 features (NHWC)."""
+    for name, _, pool in VGG_LAYERS:
+        p = params[name + suffix]
+        x = conv2d(x, p["weights"], p["biases"], dtype=dtype)
+        if pool:
+            x = max_pool_2x2_valid(x)
+    return x
