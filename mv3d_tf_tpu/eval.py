@@ -1,0 +1,129 @@
+"""Inference: the reference's box_detect (lib/fast_rcnn/test_mv.py:149-264)
+as ONE jit-compiled XLA program per frame — BEV + image trunks, RPN,
+proposal layer, dual-view ROI pooling, fusion head, corner decode — no
+host round-trips; host code only does file IO and result writing.
+
+Parity notes:
+  * image mean subtraction in-graph (test_mv.py:162, PIXEL_MEANS BGR);
+  * boxes for BEV NMS come from the UNREGRESSED corners
+    (test_mv.py:253-261 — the "! Not apply corner regression" block);
+  * the regressed corners (bbox_transform_inv_cnr) are returned alongside,
+    exactly like box_detect's 4-tuple.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mv3d_tf_tpu import geometry as G
+from mv3d_tf_tpu.config import cfg
+from mv3d_tf_tpu.models import mv3d
+from mv3d_tf_tpu.ops.nms import nms, nms_np
+from mv3d_tf_tpu.ops.roi_pool import roi_pool
+from mv3d_tf_tpu.proposals import IMG_BOUNDS, IMG_PAD, proposal_layer_3d
+
+PIXEL_MEANS = np.array([95.8814, 98.7743, 93.8549], np.float32)  # config.py:211
+
+
+def build_detect_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
+                    post_nms_top_n=300, rpn_nms_thresh=0.7,
+                    compute_dtype=None):
+    """Build the jitted single-frame detector.
+
+    Returns detect(params, bev, image, calib) -> dict with
+      scores (P, 2), boxes_bv (P, 4*K) [from unregressed corners],
+      boxes_cnr (P, 24*K), boxes_cnr_r (P, 24*K), rois_3d (P, 7),
+      valid (P,);   P = post_nms_top_n, K = 2 classes.
+    """
+    max_img_h = int(IMG_BOUNDS[0] + 2 * IMG_PAD + 10)
+    max_img_w = int(IMG_BOUNDS[1] + 2 * IMG_PAD + 10)
+
+    @jax.jit
+    def detect(params, bev, image, calib):
+        image = image.astype(jnp.float32) - PIXEL_MEANS
+        c5, c5_2 = mv3d.extract_features(params, bev[None], image[None],
+                                         dtype=compute_dtype)
+        rpn_cls, rpn_box = mv3d.rpn_head(params, c5, dtype=compute_dtype)
+        prob = mv3d.rpn_probs(rpn_cls)
+        rois = proposal_layer_3d(prob, rpn_box.astype(jnp.float32), calib,
+                                 feat_h, feat_w,
+                                 pre_nms_top_n=pre_nms_top_n,
+                                 post_nms_top_n=post_nms_top_n,
+                                 nms_thresh=rpn_nms_thresh)
+
+        pooled_bv = roi_pool(c5[0], rois["rois_bv"], spatial_scale=1.0 / 8)
+        pooled_img = roi_pool(c5_2[0], rois["rois_img"], spatial_scale=1.0 / 8,
+                              max_in_h=max_img_h, max_in_w=max_img_w)
+        cls_score, cls_prob, bbox_pred = mv3d.fusion_head(
+            params, pooled_bv.astype(jnp.float32),
+            pooled_img.astype(jnp.float32))
+
+        boxes_3d = rois["rois_3d"][:, 1:7]
+        boxes_cnr = G.lidar_3d_to_corners(boxes_3d)
+        # unregressed corners duplicated per class (test_mv.py:255)
+        pred_cnr = jnp.concatenate([boxes_cnr, boxes_cnr], axis=1)
+        pred_cnr_r = G.bbox_transform_inv_cnr(boxes_cnr, bbox_pred)
+        pred_bv = G.corners_to_bv(pred_cnr)
+
+        mask = rois["valid"][:, None].astype(jnp.float32)
+        return {
+            "scores": cls_prob * mask,
+            "boxes_bv": pred_bv * mask,
+            "boxes_cnr": pred_cnr * mask,
+            "boxes_cnr_r": pred_cnr_r * mask,
+            "rois_3d": rois["rois_3d"],
+            "rois_img": rois["rois_img"],
+            "valid": rois["valid"],
+        }
+
+    return detect
+
+
+@functools.partial(jax.jit, static_argnames=("max_out",))
+def per_class_nms(boxes, scores, valid, max_out, nms_thresh, score_thresh):
+    """Per-class post-processing (test_mv.py:420-444): threshold + NMS."""
+    keep = valid & (scores > score_thresh)
+    return nms(boxes, scores, keep, max_out, nms_thresh)
+
+
+def frame_detections(det, num_classes=2, score_thresh=0.05,
+                     nms_thresh=None, max_per_image=300):
+    """Host-side assembly of one frame's detections per class
+    (test_mv.py:415-501): threshold 0.05, BEV NMS, top-300 cap.
+
+    Returns {cls: (dets_bv (M,5), dets_cnr (M,25), dets_cnr_r (M,25))}.
+    """
+    if nms_thresh is None:
+        nms_thresh = cfg.TEST.NMS
+    scores = np.asarray(det["scores"])
+    boxes_bv = np.asarray(det["boxes_bv"])
+    boxes_cnr = np.asarray(det["boxes_cnr"])
+    boxes_cnr_r = np.asarray(det["boxes_cnr_r"])
+    valid = np.asarray(det["valid"])
+
+    out = {}
+    all_scores = []
+    for j in range(1, num_classes):
+        inds = np.where(valid & (scores[:, j] > score_thresh))[0]
+        cls_scores = scores[inds, j]
+        cls_bv = boxes_bv[inds, j * 4:(j + 1) * 4]
+        cls_cnr = boxes_cnr[inds, j * 24:(j + 1) * 24]
+        cls_cnr_r = boxes_cnr_r[inds, j * 24:(j + 1) * 24]
+        dets = np.hstack([cls_bv, cls_scores[:, None]]).astype(np.float32)
+        keep = nms_np(dets, nms_thresh)
+        out[j] = (dets[keep],
+                  np.hstack([cls_cnr[keep], cls_scores[keep, None]]),
+                  np.hstack([cls_cnr_r[keep], cls_scores[keep, None]]))
+        all_scores.append(out[j][0][:, -1])
+
+    # global top-N cap across classes (test_mv.py:492-501)
+    if max_per_image > 0 and all_scores:
+        flat = np.concatenate(all_scores)
+        if len(flat) > max_per_image:
+            thresh = np.sort(flat)[-max_per_image]
+            for j in list(out):
+                keep = np.where(out[j][0][:, -1] >= thresh)[0]
+                out[j] = tuple(a[keep] for a in out[j])
+    return out

@@ -7,11 +7,20 @@ __graft_entry__.dryrun_multichip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment pre-imports jax (site hook) with JAX_PLATFORMS=axon (the
+# real TPU), so env vars alone are too late — update the live config before
+# any backend initialization. Tests must run on 8 fake CPU devices.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on fake CPU devices"
+assert len(jax.devices()) == 8, "expected 8 fake CPU devices"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,87 @@
+"""ROI pooling vs the CUDA-loop numpy oracle, plus gradient checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mv3d_tf_tpu.ops.roi_pool import roi_pool, roi_pool_np
+
+
+def _rand_rois(rng, n, in_h, in_w, allow_outside=False):
+    pad = 50 if allow_outside else 0
+    x1 = rng.uniform(-pad, in_w - 10 + pad, n)
+    y1 = rng.uniform(-pad, in_h - 10 + pad, n)
+    x2 = x1 + rng.uniform(5, in_w / 2, n)
+    y2 = y1 + rng.uniform(5, in_h / 2, n)
+    if not allow_outside:
+        x2 = np.minimum(x2, in_w - 1)
+        y2 = np.minimum(y2, in_h - 1)
+    z = np.zeros(n)
+    return np.stack([z, x1, y1, x2, y2], 1).astype(np.float32)
+
+
+def test_matches_cuda_oracle_small(rng):
+    feat = rng.randn(20, 24, 8).astype(np.float32)
+    rois = _rand_rois(rng, 40, 160, 192)
+    got = np.asarray(roi_pool(feat, rois, pooled=7, spatial_scale=1 / 8))
+    exp = roi_pool_np(feat, rois, pooled=7, spatial_scale=1 / 8)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_matches_oracle_whole_map_roi(rng):
+    feat = rng.randn(75, 75, 4).astype(np.float32)
+    rois = np.array([[0, 0, 0, 600, 600],        # whole BEV map
+                     [0, 0, 0, 4, 4],            # tiny -> 1x1 forced
+                     [0, 300, 300, 300, 300]],   # degenerate point
+                    np.float32)
+    got = np.asarray(roi_pool(feat, rois))
+    exp = roi_pool_np(feat, rois)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_matches_oracle_outside_image(rng):
+    # image-view rois can run past the frame ([-50, 1292] bounds); pass the
+    # true extent bound so the static bin span covers them
+    feat = rng.randn(48, 156, 6).astype(np.float32)
+    rois = _rand_rois(rng, 30, 425, 1292, allow_outside=True)
+    got = np.asarray(roi_pool(feat, rois, max_in_h=480, max_in_w=1350))
+    exp = roi_pool_np(feat, rois)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_empty_bin_zero():
+    feat = -np.ones((16, 16, 2), np.float32)     # all negative features
+    # a roi whose bins land outside after clipping: start beyond extent
+    rois = np.array([[0, 1000, 1000, 1200, 1200]], np.float32)
+    out = np.asarray(roi_pool(feat, rois, spatial_scale=1 / 8,
+                              max_in_h=1300, max_in_w=1300))
+    np.testing.assert_array_equal(out, np.zeros_like(out))
+
+
+def test_gradient_routes_to_max(rng):
+    feat = rng.randn(16, 16, 3).astype(np.float32)
+    rois = np.array([[0, 0, 0, 120, 120]], np.float32)
+
+    def loss(f):
+        return jnp.sum(roi_pool(f, jnp.asarray(rois), spatial_scale=1 / 8))
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(feat)))
+    # gradient mass equals number of non-empty bins x channels
+    out = roi_pool_np(feat, rois, spatial_scale=1 / 8)
+    assert g.sum() == np.isfinite(out).all() * 7 * 7 * 3
+    # gradient lands only on max locations: positions with g>0 must hold
+    # the bin max value
+    nz = np.argwhere(g > 0)
+    assert len(nz) > 0
+    for h, w, c in nz[:20]:
+        assert feat[h, w, c] in out[0, :, :, c]
+
+
+def test_vmap_over_frames(rng):
+    feats = rng.randn(2, 20, 20, 4).astype(np.float32)
+    rois = np.stack([_rand_rois(rng, 8, 150, 150) for _ in range(2)])
+    out = jax.vmap(lambda f, r: roi_pool(f, r))(feats, rois)
+    assert out.shape == (2, 8, 7, 7, 4)
+    for b in range(2):
+        np.testing.assert_array_equal(np.asarray(out[b]),
+                                      roi_pool_np(feats[b], rois[b]))
