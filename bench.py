@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Headline benchmark: end-to-end MV3D inference frames/sec/chip.
+
+Runs the full single-graph detector (BEV 601x601x9 + image 384x1248x3 ->
+fixed 300-slot detections) batched over EVAL_BATCH frames on one chip,
+device-resident inputs, bfloat16 trunks. Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is relative to the 500 fps/chip north-star target
+(BASELINE.json; the reference publishes no numbers of its own).
+Auxiliary timings go to stderr.
+"""
+
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mv3d_tf_tpu.eval import build_detect_fn
+    from mv3d_tf_tpu.models import mv3d
+    from mv3d_tf_tpu.ops import bev as bev_ops
+
+    dev = jax.devices()[0]
+    log("device:", dev)
+
+    rng = np.random.RandomState(0)
+    B = 8
+    params = jax.device_put(mv3d.init_params(jax.random.PRNGKey(0)))
+    detect = build_detect_fn(compute_dtype=jnp.bfloat16)
+    # params must be an ARGUMENT (closed-over pytrees become literal
+    # constants in the HLO -> hundreds of MB -> tunnel compile fails)
+    detect_vmapped = jax.jit(jax.vmap(detect, in_axes=(None, 0, 0, 0)))
+
+    def detect_batch(b, i, c):
+        return detect_vmapped(params, b, i, c)
+
+    bev = jax.device_put(rng.rand(B, 601, 601, 9).astype(np.float32))
+    image = jax.device_put((rng.rand(B, 384, 1248, 3) * 255)
+                           .astype(np.float32))
+    calib = np.zeros((B, 4, 12), np.float32)
+    calib[:, 0] = [707.0, 0, 601.8, 45.7, 0, 707.0, 183.1, -0.34,
+                   0, 0, 1.0, 0.005]
+    calib[:, 2, :9] = np.eye(3).reshape(-1)
+    calib[:, 3] = [0.0002, -0.9999, -0.0106, -0.002, 0.0104, 0.0106,
+                   -0.9999, -0.075, 0.9999, 0.0002, 0.0105, -0.272]
+    calib = jax.device_put(calib)
+
+    t0 = time.perf_counter()
+    out = detect_batch(bev, image, calib)
+    jax.block_until_ready(out)
+    log("compile+first batch: {:.1f}s".format(time.perf_counter() - t0))
+
+    # steady state
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = detect_batch(bev, image, calib)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    fps = B / dt
+    log("batched detect: {:.1f} ms/batch -> {:.1f} frames/s".format(
+        dt * 1000, fps))
+
+    # aux: single-frame p50 latency
+    single = detect
+    b1, i1, c1 = bev[0], image[0], calib[0]
+    single(params, b1, i1, c1)
+    lats = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(single(params, b1, i1, c1))
+        lats.append(time.perf_counter() - t0)
+    log("single-frame p50 latency: {:.1f} ms".format(
+        sorted(lats)[len(lats) // 2] * 1000))
+
+    # aux: BEV generation throughput
+    pts = rng.rand(B, 131072, 4).astype(np.float32) * 50
+    val = np.ones((B, 131072), bool)
+    ptsd, vald = jax.device_put(pts), jax.device_put(val)
+    jax.block_until_ready(bev_ops.point_cloud_2_top_batch(ptsd, vald))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        o = bev_ops.point_cloud_2_top_batch(ptsd, vald)
+    jax.block_until_ready(o)
+    log("bev generation: {:.0f} scans/s".format(B / ((time.perf_counter() - t0) / 5)))
+
+    print(json.dumps({
+        "metric": "mv3d_e2e_inference_throughput",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / 500.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

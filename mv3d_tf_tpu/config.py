@@ -157,7 +157,9 @@ def _merge_a_into_b(a, b):
             raise KeyError('{} is not a valid config key'.format(k))
         old_type = type(b[k])
         if old_type is not type(v):
-            if isinstance(b[k], np.ndarray):
+            if isinstance(b[k], dict) and isinstance(v, dict):
+                pass          # AttrDict vs plain yaml dict: recurse below
+            elif isinstance(b[k], np.ndarray):
                 v = np.array(v, dtype=b[k].dtype)
             elif isinstance(b[k], tuple) and isinstance(v, list):
                 v = tuple(v)

@@ -1,0 +1,272 @@
+"""KITTI MV3D dataset — the reference's kitti_mv3d imdb
+(lib/datasets/kitti_mv3d.py) + imdb base (lib/datasets/imdb.py) rebuilt as
+one plain-numpy class (host-side only; everything device-side is fed
+through data/loader.py).
+
+Directory layout (kitti_mv3d.py:77-120):
+  <kitti_path>/object/{training,testing}/{image_2,lidar_bv,calib,label_2,velodyne}
+  <kitti_path>/ImageSets/<split>.txt
+
+Annotation flow per object (kitti_mv3d.py:229-272): KITTI label line ->
+camera 3D box -> yaw-rotated camera corners -> lidar corners (via the
+legacy inverse extrinsics) -> lidar xyz/lwh -> BEV box.
+"""
+
+import os
+import os.path as osp
+import pickle
+import time
+
+import numpy as np
+
+from mv3d_tf_tpu import geometry as G
+from mv3d_tf_tpu.config import cfg
+
+
+class KittiMV3D:
+    """classes = ('__background__', 'Car') (kitti_mv3d.py:29)."""
+
+    def __init__(self, image_set, kitti_path=None):
+        self.name = "kitti_" + image_set
+        self._image_set = image_set
+        self._kitti_path = (kitti_path if kitti_path is not None
+                            else osp.join(cfg.DATA_DIR, "KITTI"))
+        self._data_path = osp.join(self._kitti_path, "object")
+        self._classes = ("__background__", "Car")
+        self._class_to_ind = {c: i for i, c in enumerate(self._classes)}
+        self._image_ext = ".png"
+        self._lidar_ext = ".npy"
+        self._subset = "car"
+        self._image_index = self._load_image_set_index()
+        self._roidb = None
+        assert osp.exists(self._kitti_path), \
+            "KITTI path does not exist: " + self._kitti_path
+
+    # -- identity ------------------------------------------------------------
+    @property
+    def classes(self):
+        return self._classes
+
+    @property
+    def num_classes(self):
+        return len(self._classes)
+
+    @property
+    def image_index(self):
+        return self._image_index
+
+    @property
+    def num_images(self):
+        return len(self._image_index)
+
+    @property
+    def cache_path(self):
+        path = osp.join(cfg.DATA_DIR, "cache")
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    @property
+    def roidb(self):
+        if self._roidb is None:
+            self._roidb = self.gt_roidb()
+        return self._roidb
+
+    # -- paths ---------------------------------------------------------------
+    def _prefix(self):
+        return "testing" if self._image_set == "test" else "training"
+
+    def image_path_at(self, i):
+        return self.image_path_from_index(self._image_index[i])
+
+    def image_path_from_index(self, index):
+        return osp.join(self._data_path, self._prefix(), "image_2",
+                        index + self._image_ext)
+
+    def lidar_path_at(self, i):
+        return osp.join(self._data_path, self._prefix(), "lidar_bv",
+                        self._image_index[i] + self._lidar_ext)
+
+    def velodyne_path_at(self, i):
+        return osp.join(self._data_path, self._prefix(), "velodyne",
+                        self._image_index[i] + ".bin")
+
+    def _load_image_set_index(self):
+        f = osp.join(self._kitti_path, "ImageSets", self._image_set + ".txt")
+        assert osp.exists(f), "Path does not exist: " + f
+        with open(f) as fh:
+            return [x.strip() for x in fh.readlines() if x.strip()]
+
+    # -- calib ---------------------------------------------------------------
+    def _load_kitti_calib(self, index):
+        """Parse P2/P3/R0/Tr_velo2cam (kitti_mv3d.py:151-193)."""
+        path = osp.join(self._data_path, self._prefix(), "calib",
+                        index + ".txt")
+        with open(path) as f:
+            lines = f.readlines()
+        vals = [np.array(l.strip().split(" ")[1:], np.float32) for l in lines
+                if l.strip()]
+        return {"P2": vals[2].reshape(3, 4),
+                "P3": vals[3].reshape(3, 4),
+                "R0": vals[4].reshape(3, 3),
+                "Tr_velo2cam": vals[5].reshape(3, 4)}
+
+    def calib_at(self, i):
+        """(4,12) calib blob (kitti_mv3d.py:63-75)."""
+        c = self._load_kitti_calib(self._image_index[i])
+        calib = np.zeros((4, 12), np.float32)
+        calib[0] = c["P2"].reshape(12)
+        calib[1] = c["P3"].reshape(12)
+        calib[2, :9] = c["R0"].reshape(9)
+        calib[3] = c["Tr_velo2cam"].reshape(12)
+        return calib
+
+    # -- annotations ---------------------------------------------------------
+    def gt_roidb(self):
+        cache_file = osp.join(self.cache_path, self.name + "_gt_roidb.pkl")
+        if osp.exists(cache_file):
+            with open(cache_file, "rb") as fid:
+                roidb = pickle.load(fid)
+            print("{} gt roidb loaded from {}".format(self.name, cache_file))
+            return roidb
+        roidb = [self._load_kitti_annotation(idx)
+                 for idx in self._image_index]
+        with open(cache_file, "wb") as fid:
+            pickle.dump(roidb, fid, pickle.HIGHEST_PROTOCOL)
+        print("wrote gt roidb to " + cache_file)
+        return roidb
+
+    def _load_kitti_annotation(self, index):
+        """One frame's labels -> roidb entry (kitti_mv3d.py:195-306)."""
+        calib = self._load_kitti_calib(index)
+        Tr = calib["Tr_velo2cam"]
+        path = osp.join(self._data_path, "training/label_2", index + ".txt")
+        with open(path) as f:
+            lines = [l for l in f.readlines() if l.strip()]
+
+        rows = []
+        for line in lines:
+            obj = line.strip().split(" ")
+            cls = self._class_to_ind.get(obj[0].strip())
+            if cls is None:
+                continue
+            vals = [float(v) for v in obj[1:15]]
+            rows.append((cls, vals))
+
+        n = len(rows)
+        entry = {
+            "ry": np.zeros(n, np.float32),
+            "lwh": np.zeros((n, 3), np.float32),
+            "boxes": np.zeros((n, 4), np.float32),
+            "boxes_bv": np.zeros((n, 4), np.float32),
+            "boxes_3D_cam": np.zeros((n, 6), np.float32),
+            "boxes_3D": np.zeros((n, 6), np.float32),
+            "boxes3D_cam_corners": np.zeros((n, 24), np.float32),
+            "boxes_corners": np.zeros((n, 24), np.float32),
+            "gt_classes": np.zeros(n, np.int32),
+            "gt_overlaps": np.zeros((n, self.num_classes), np.float32),
+            "xyz": np.zeros((n, 3), np.float32),
+            "alphas": np.zeros(n, np.float32),
+            "flipped": False,
+        }
+        for ix, (cls, v) in enumerate(rows):
+            alpha, x1, y1, x2, y2 = v[2], v[3], v[4], v[5], v[6]
+            h, w, l = v[7], v[8], v[9]
+            tx, ty, tz, ry = v[10], v[11], v[12], v[13]
+            entry["ry"][ix] = ry
+            entry["lwh"][ix] = [l, w, h]
+            entry["alphas"][ix] = alpha
+            entry["xyz"][ix] = [tx, ty, tz]
+            entry["boxes"][ix] = [x1, y1, x2, y2]
+            cam_box = np.array([tx, ty, tz, l, w, h], np.float32)
+            entry["boxes_3D_cam"][ix] = cam_box
+            cam_cnr = np.asarray(G.compute_corners_3d(cam_box, ry))
+            entry["boxes3D_cam_corners"][ix] = cam_cnr.reshape(24)
+            lidar_cnr = np.asarray(G.camera_to_lidar_cnr(cam_cnr, Tr))[0]
+            entry["boxes_corners"][ix] = lidar_cnr
+            lidar_3d = np.asarray(
+                G.lidar_cnr_to_3d(lidar_cnr, entry["lwh"][ix]))[0]
+            entry["boxes_3D"][ix] = lidar_3d
+            entry["boxes_bv"][ix] = np.asarray(
+                G.lidar_3d_to_bv(lidar_3d[None]))[0]
+            entry["gt_classes"][ix] = cls
+            entry["gt_overlaps"][ix, cls] = 1.0
+        return entry
+
+    # -- result writing (kitti_mv3d.py:321-401) ------------------------------
+    def _results_dir(self, tag):
+        path = osp.join(
+            cfg.ROOT_DIR, "kitti", tag,
+            "kitti_{}_{}_-{}".format(self._subset, self._image_set,
+                                     time.strftime("%m-%d-%H-%M-%S")),
+            "data")
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    def _write_kitti_results_file(self, all_boxes, all_boxes3D):
+        """KITTI server format: 2D image boxes, -1 for the rest
+        (kitti_mv3d.py:321-352)."""
+        path = self._results_dir("results")
+        for im_ind, index in enumerate(self._image_index):
+            with open(osp.join(path, index + ".txt"), "wt") as f:
+                for cls_ind, cls in enumerate(self._classes):
+                    if cls == "__background__":
+                        continue
+                    dets = all_boxes[cls_ind][im_ind]
+                    if len(dets) == 0:
+                        continue
+                    for k in range(dets.shape[0]):
+                        f.write("{:s} -1 -1 {:.2f} {:.2f} {:.2f} {:.2f} "
+                                "{:.2f} -1 -1 -1 -1 -1 -1 -1 -1\n".format(
+                                    cls.lower(), 0.0, dets[k, 0], dets[k, 1],
+                                    dets[k, 2], dets[k, 3]))
+        return path
+
+    def _write_corners_results_file(self, all_boxes, all_boxes3D):
+        """Corner .npy dumps (kitti_mv3d.py:354-390)."""
+        path = self._results_dir("results_cnr")
+        for im_ind, index in enumerate(self._image_index):
+            objs = []
+            for cls_ind, cls in enumerate(self._classes):
+                if cls == "__background__":
+                    continue
+                dets = all_boxes[cls_ind][im_ind]
+                dets3d = all_boxes3D[cls_ind][im_ind]
+                for k in range(len(dets)):
+                    objs.append(np.hstack((dets[k], dets3d[k][1:])))
+            if objs:
+                np.save(osp.join(path, index + ".npy"), np.asarray(objs))
+        return path
+
+    def evaluate_detections(self, all_boxes, all_boxes3D, output_dir=None):
+        """Writes KITTI result files (the reference's AP eval binary is
+        absent and its call commented out, kitti_mv3d.py:397-401)."""
+        return self._write_kitti_results_file(all_boxes, all_boxes3D)
+
+
+def prepare_roidb(imdb):
+    """Enrich roidb entries for training (lib/roi_data_layer/roidb.py:16-58)."""
+    for i, entry in enumerate(imdb.roidb):
+        entry["image_path"] = imdb.image_path_at(i)
+        entry["lidar_bv_path"] = imdb.lidar_path_at(i)
+        entry["calib"] = imdb.calib_at(i)
+        overlaps = entry["gt_overlaps"]
+        entry["max_classes"] = overlaps.argmax(axis=1)
+        entry["max_overlaps"] = overlaps.max(axis=1)
+        nonzero = np.where(entry["max_overlaps"] > 0)[0]
+        assert all(entry["max_classes"][nonzero] != 0)
+    return imdb.roidb
+
+
+_IMDB_FACTORY = {}
+
+
+def get_imdb(name, kitti_path=None):
+    """datasets.factory.get_imdb parity (lib/datasets/factory.py:80-85):
+    kitti_{train,val,trainval,test}."""
+    if name in _IMDB_FACTORY:
+        return _IMDB_FACTORY[name]
+    if name.startswith("kitti_"):
+        imdb = KittiMV3D(name[len("kitti_"):], kitti_path=kitti_path)
+        _IMDB_FACTORY[name] = imdb
+        return imdb
+    raise KeyError("Unknown dataset: {}".format(name))

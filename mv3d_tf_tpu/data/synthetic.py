@@ -1,0 +1,133 @@
+"""Synthetic KITTI-layout fixture generator.
+
+Materializes a tiny on-disk dataset with the exact directory layout the
+reference expects (kitti_mv3d.py:77-120) — velodyne .bin point clouds,
+label_2 txt annotations, calib txt, image_2 pngs, ImageSets splits, and
+precomputed lidar_bv .npy rasters — so the CLIs, loaders, tests, and
+benchmarks run end-to-end in environments without real KITTI data.
+
+Scenes are generated in the CAMERA frame (like real labels) with cars on
+a ground plane; velodyne points are sampled on car-box surfaces + ground
+so the BEV raster and the annotations are geometrically consistent.
+"""
+
+import os
+import os.path as osp
+
+import numpy as np
+
+from mv3d_tf_tpu import geometry as G
+from mv3d_tf_tpu.ops.bev import point_cloud_2_top_np
+
+# canonical calib (velodyne x-forward -> camera z-forward, zero translation
+# to match the legacy inverse transform that drops translation anyway)
+P2 = np.array([[707.0493, 0.0, 604.0814, 0.0],
+               [0.0, 707.0493, 180.5066, 0.0],
+               [0.0, 0.0, 1.0, 0.0]], np.float32)
+R0 = np.eye(3, dtype=np.float32)
+TR_VELO2CAM = np.array([[0.0, -1.0, 0.0, 0.0],
+                        [0.0, 0.0, -1.0, 0.0],
+                        [1.0, 0.0, 0.0, 0.0]], np.float32)
+
+
+def _cam_to_lidar_box(cam_box, ry):
+    """Camera box -> lidar corners + 3d box via the SAME legacy pipeline
+    the annotation loader uses."""
+    cam_cnr = np.asarray(G.compute_corners_3d(cam_box, ry))
+    lidar_cnr = np.asarray(G.camera_to_lidar_cnr(cam_cnr, TR_VELO2CAM))[0]
+    lidar_3d = np.asarray(G.lidar_cnr_to_3d(lidar_cnr, cam_box[3:6]))[0]
+    return cam_cnr, lidar_cnr, lidar_3d
+
+
+def _sample_box_points(rng, lidar_cnr, n=600):
+    """Points on the axis-aligned bounding volume of the car corners."""
+    c = lidar_cnr.reshape(3, 8)
+    lo, hi = c.min(1), c.max(1)
+    pts = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
+    # push points to a random face to look like a surface scan
+    for i in range(n):
+        ax = rng.randint(3)
+        pts[i, ax] = lo[ax] if rng.rand() < 0.5 else hi[ax]
+    refl = rng.uniform(0.2, 0.9, (n, 1)).astype(np.float32)
+    return np.hstack([pts, refl])
+
+
+def _frame_labels(rng, n_cars):
+    """Random plausible cars in the camera frame."""
+    rows = []
+    for _ in range(n_cars):
+        l = rng.uniform(3.4, 4.6)
+        w = rng.uniform(1.5, 1.8)
+        h = rng.uniform(1.4, 1.7)
+        tz = rng.uniform(8.0, 45.0)          # depth (lidar x)
+        tx = rng.uniform(-0.45, 0.45) * tz * 0.5   # keep inside image/BEV
+        ty = 1.65                            # ground in camera frame
+        ry = rng.uniform(-np.pi, np.pi)
+        rows.append((tx, ty, tz, l, w, h, ry))
+    return rows
+
+
+def generate(root, num_frames=4, cars_per_frame=3, seed=0,
+             image_hw=(375, 1242), splits=("train", "val"),
+             write_bv=True):
+    """Create the dataset under <root>/ (use as kitti_path). Returns root."""
+    rng = np.random.RandomState(seed)
+    obj = osp.join(root, "object", "training")
+    for sub in ("velodyne", "label_2", "calib", "image_2", "lidar_bv"):
+        os.makedirs(osp.join(obj, sub), exist_ok=True)
+    os.makedirs(osp.join(root, "ImageSets"), exist_ok=True)
+
+    indices = [str(i).zfill(6) for i in range(num_frames)]
+    for index in indices:
+        labels = _frame_labels(rng, cars_per_frame)
+        pts = [np.hstack([
+            rng.uniform([0, -30, -1.9], [60, 30, -1.5],
+                        (4000, 3)).astype(np.float32),
+            rng.uniform(0.1, 0.4, (4000, 1)).astype(np.float32)])]
+        lines = []
+        for (tx, ty, tz, l, w, h, ry) in labels:
+            cam_box = np.array([tx, ty, tz, l, w, h], np.float32)
+            cam_cnr, lidar_cnr, _ = _cam_to_lidar_box(cam_box, ry)
+            pts.append(_sample_box_points(rng, lidar_cnr))
+            img = np.asarray(G.project_to_image(cam_cnr, P2))
+            x1, y1 = img.min(1)
+            x2, y2 = img.max(1)
+            lines.append(
+                "Car 0.00 0 {:.2f} {:.2f} {:.2f} {:.2f} {:.2f} "
+                "{:.2f} {:.2f} {:.2f} {:.2f} {:.2f} {:.2f} {:.2f}".format(
+                    -ry, max(x1, 0), max(y1, 0),
+                    min(x2, image_hw[1] - 1), min(y2, image_hw[0] - 1),
+                    h, w, l, tx, ty, tz, ry))
+        scan = np.vstack(pts).astype(np.float32)
+        scan.tofile(osp.join(obj, "velodyne", index + ".bin"))
+        with open(osp.join(obj, "label_2", index + ".txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        with open(osp.join(obj, "calib", index + ".txt"), "w") as f:
+            z12 = " ".join(["0"] * 12)
+            f.write("P0: " + z12 + "\n")
+            f.write("P1: " + z12 + "\n")
+            f.write("P2: " + " ".join(str(v) for v in P2.reshape(-1)) + "\n")
+            f.write("P3: " + " ".join(str(v) for v in P2.reshape(-1)) + "\n")
+            f.write("R0_rect: " + " ".join(str(v) for v in R0.reshape(-1))
+                    + "\n")
+            f.write("Tr_velo_to_cam: "
+                    + " ".join(str(v) for v in TR_VELO2CAM.reshape(-1)) + "\n")
+            f.write("Tr_imu_to_velo: " + z12 + "\n")
+        _write_png(osp.join(obj, "image_2", index + ".png"),
+                   (rng.rand(*image_hw, 3) * 60 + 90).astype(np.uint8))
+        if write_bv:
+            np.save(osp.join(obj, "lidar_bv", index + ".npy"),
+                    point_cloud_2_top_np(scan))
+
+    half = max(1, num_frames // 2)
+    split_frames = {"train": indices[:half], "val": indices[half:],
+                    "trainval": indices, "test": indices}
+    for s in splits:
+        with open(osp.join(root, "ImageSets", s + ".txt"), "w") as f:
+            f.write("\n".join(split_frames.get(s, indices)) + "\n")
+    return root
+
+
+def _write_png(path, arr):
+    from PIL import Image
+    Image.fromarray(arr).save(path)

@@ -46,10 +46,17 @@ def conv2d(x, w, b, stride=1, padding="SAME", relu=True, dtype=None):
 
 
 def max_pool_2x2_valid(x):
-    """2x2 stride-2 VALID max pool (network.py:181-188, models use VALID)."""
-    return jax.lax.reduce_window(
-        x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
-        jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    """2x2 stride-2 VALID max pool (network.py:181-188, models use VALID).
+
+    Implemented as slice-to-even + reshape + max instead of
+    lax.reduce_window: identical semantics (VALID drops the trailing
+    odd row/col), reliably differentiable in every dtype (reduce_window's
+    bf16 VJP fails in this jax version), and fuses well.
+    """
+    b, h, w, c = x.shape
+    x = x[:, :2 * (h // 2), :2 * (w // 2), :]
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.max(x, axis=(2, 4))
 
 
 def init_trunk(key, in_channels, suffix=""):

@@ -91,22 +91,29 @@ def roi_pool(feat, rois, pooled=7, spatial_scale=1.0 / 8,
     wlen = wend - wstart
 
     # stage 1: per (roi, ph) max over bin rows -> (R, pooled, W, C)
-    m1 = jnp.full((R, pooled, W, C), neg, dtype)
-    for k in range(mb_h):
+    # (lax.fori_loop, not a Python unroll: keeps the HLO small enough to
+    # vmap the whole detector over a frame batch)
+    def h_body(k, m1):
         idx = jnp.clip(hs_i + k, 0, H - 1)              # (R, pooled)
         rows = feat[idx]                                # (R, pooled, W, C)
         ok = (k < hlen)[:, :, None, None]
-        m1 = jnp.maximum(m1, jnp.where(ok, rows, neg))
+        return jnp.maximum(m1, jnp.where(ok, rows, neg))
+
+    m1 = jax.lax.fori_loop(0, mb_h, h_body,
+                           jnp.full((R, pooled, W, C), neg, dtype))
 
     # stage 2: per (roi, ph, pw) max over bin cols -> (R, pooled, pooled, C)
-    out = jnp.full((R, pooled, pooled, C), neg, dtype)
     m1t = jnp.swapaxes(m1, 1, 2)                        # (R, W, pooled, C)
-    for k in range(mb_w):
+
+    def w_body(k, out):
         idx = jnp.clip(ws_i + k, 0, W - 1)              # (R, pooled)
         cols = jnp.take_along_axis(m1t, idx[:, :, None, None], axis=1)
         cols = jnp.swapaxes(cols, 1, 2)                 # (R, pooled, pooled, C)
         ok = (k < wlen)[:, None, :, None]
-        out = jnp.maximum(out, jnp.where(ok, cols, neg))
+        return jnp.maximum(out, jnp.where(ok, cols, neg))
+
+    out = jax.lax.fori_loop(0, mb_w, w_body,
+                            jnp.full((R, pooled, pooled, C), neg, dtype))
 
     # empty bins -> 0 (cu.cc:65-68)
     is_empty = ((hend <= hstart)[:, :, None] | (wend <= wstart)[:, None, :])

@@ -1,0 +1,115 @@
+"""Data pipeline: synthetic KITTI fixture -> imdb -> loader -> batch."""
+
+import numpy as np
+import pytest
+
+from mv3d_tf_tpu.data import synthetic
+from mv3d_tf_tpu.data.kitti import KittiMV3D, get_imdb, prepare_roidb
+from mv3d_tf_tpu.data.loader import RoIDataLayer, get_minibatch, pad_gt
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    synthetic.generate(str(root), num_frames=4, cars_per_frame=3, seed=0)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def imdb(kitti_root):
+    db = KittiMV3D("train", kitti_path=kitti_root)
+    prepare_roidb(db)
+    return db
+
+
+def test_imdb_identity(imdb):
+    assert imdb.classes == ("__background__", "Car")
+    assert imdb.num_images == 2          # half of 4 frames in train split
+
+
+def test_calib_blob(imdb):
+    calib = imdb.calib_at(0)
+    assert calib.shape == (4, 12)
+    np.testing.assert_allclose(calib[0].reshape(3, 4), synthetic.P2)
+    np.testing.assert_allclose(calib[2, :9].reshape(3, 3), synthetic.R0)
+
+
+def test_annotations_geometry(imdb):
+    entry = imdb.roidb[0]
+    n = len(entry["gt_classes"])
+    assert n == 3
+    assert (entry["gt_classes"] == 1).all()
+    # all derived blobs consistent shapes
+    assert entry["boxes_bv"].shape == (n, 4)
+    assert entry["boxes_corners"].shape == (n, 24)
+    # BEV boxes inside the raster
+    assert entry["boxes_bv"].min() > -50 and entry["boxes_bv"].max() < 650
+    # lidar box center == mean of lidar corners (definition)
+    c = entry["boxes_corners"].reshape(n, 3, 8)
+    np.testing.assert_allclose(entry["boxes_3D"][:, :3], c.mean(2), atol=1e-4)
+
+
+def test_bev_raster_contains_car_points(imdb):
+    """Velodyne points sampled on cars must rasterize inside the gt BEV box."""
+    entry = imdb.roidb[0]
+    bev = np.load(entry["lidar_bv_path"])
+    assert bev.shape == (601, 601, 9)
+    occupancy = (bev[:, :, :8] > 0).any(axis=2)
+    for b in entry["boxes_bv"]:
+        x1, y1, x2, y2 = b.astype(int)
+        x1, x2 = sorted((x1, x2))
+        y1, y2 = sorted((y1, y2))
+        sub = occupancy[max(y1 - 2, 0):y2 + 3, max(x1 - 2, 0):x2 + 3]
+        assert sub.any(), f"no BEV points inside gt box {b}"
+
+
+def test_minibatch_shapes(imdb):
+    batch = get_minibatch(imdb.roidb[0])
+    assert batch["bev"].shape == (601, 601, 9)
+    assert batch["image"].shape == (384, 1248, 3)
+    assert batch["calib"].shape == (4, 12)
+    assert batch["gt_boxes_bv"].shape[1] == 5
+    assert batch["gt_boxes_3d"].shape[1] == 7
+    assert batch["gt_boxes_corners"].shape[1] == 25
+    assert batch["gt_valid"].sum() == 3
+    # padded gt rows keep nonzero sizes (log-safety)
+    assert (batch["gt_boxes_3d"][batch["gt_valid"] == False][:, 3:6] == 1).all()  # noqa: E712
+
+
+def test_loader_epoch_cycling(imdb):
+    layer = RoIDataLayer(imdb.roidb, prefetch=0, seed=0)
+    seen = [layer.forward()["calib"][0, 3] for _ in range(4)]
+    assert len(seen) == 4    # cycles past one epoch without error
+
+
+def test_loader_prefetch_thread(imdb):
+    layer = RoIDataLayer(imdb.roidb, prefetch=2, seed=0)
+    b = layer.forward()
+    assert b["bev"].shape == (601, 601, 9)
+
+
+def test_imdb_factory(kitti_root):
+    db = get_imdb("kitti_val", kitti_path=kitti_root)
+    assert db.name == "kitti_val"
+    with pytest.raises(KeyError):
+        get_imdb("voc_2007_train")
+
+
+def test_evaluate_detections_writes_files(imdb, tmp_path):
+    from mv3d_tf_tpu.config import cfg
+    old_root = cfg.ROOT_DIR
+    cfg.ROOT_DIR = str(tmp_path)
+    try:
+        n = imdb.num_images
+        dets = np.array([[10, 10, 50, 50, 0.9]], np.float32)
+        dets3d = np.array([np.arange(25, dtype=np.float32)])
+        all_boxes = [[[] for _ in range(n)], [dets for _ in range(n)]]
+        all_boxes3d = [[[] for _ in range(n)], [dets3d for _ in range(n)]]
+        path = imdb.evaluate_detections(all_boxes, all_boxes3d)
+        import os
+        files = os.listdir(path)
+        assert len(files) == n
+        content = open(os.path.join(path, files[0])).read()
+        assert content.startswith("car")
+    finally:
+        cfg.ROOT_DIR = old_root

@@ -1,0 +1,97 @@
+"""CLI surface tests (fast paths; full-device CLI runs are exercised
+against the real TPU in verification — CPU compiles of the full graphs
+are too slow for CI)."""
+
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+TOOLS = osp.join(REPO, "tools")
+
+
+def _run(args, **kw):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "axon"   # let scripts pick their own platform
+    return subprocess.run([sys.executable] + args, capture_output=True,
+                          text=True, cwd=REPO, env=env, **kw)
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    from mv3d_tf_tpu.data import synthetic
+    root = tmp_path_factory.mktemp("kitti_cli")
+    synthetic.generate(str(root), num_frames=2, cars_per_frame=2, seed=1)
+    return str(root)
+
+
+def test_cli_help_exits():
+    for tool in ("train_net.py", "test_net.py"):
+        r = _run([osp.join(TOOLS, tool)])
+        assert r.returncode == 1          # prints help like the reference
+        assert "usage" in (r.stdout + r.stderr).lower()
+
+
+def test_read_lidar_host_mode(kitti_root):
+    out_dir = osp.join(kitti_root, "object", "training", "lidar_bv")
+    # remove pregenerated rasters, regenerate via the CLI host path
+    for f in os.listdir(out_dir):
+        os.remove(osp.join(out_dir, f))
+    r = _run([osp.join(TOOLS, "read_lidar.py"), "--root",
+              osp.join(kitti_root, "object", "training"), "--host",
+              "--batch", "2"])
+    assert r.returncode == 0, r.stderr
+    outs = sorted(os.listdir(out_dir))
+    assert outs == ["000000.npy", "000001.npy"]
+    top = np.load(osp.join(out_dir, outs[0]))
+    assert top.shape == (601, 601, 9)
+    assert (top > 0).any()
+
+
+def test_tracklet2label(tmp_path):
+    xml = tmp_path / "tracklet_labels.xml"
+    xml.write_text("""<?xml version="1.0"?>
+<boost_serialization><tracklets class_id="0" version="0">
+ <count>1</count>
+ <item>
+  <objectType>Car</objectType>
+  <h>1.5</h><w>1.6</w><l>4.0</l>
+  <first_frame>2</first_frame>
+  <poses>
+   <count>2</count>
+   <item><tx>10.0</tx><ty>1.0</ty><tz>-0.8</tz>
+         <rx>0</rx><ry>0</ry><rz>0.5</rz></item>
+   <item><tx>11.0</tx><ty>1.1</ty><tz>-0.8</tz>
+         <rx>0</rx><ry>0</ry><rz>0.6</rz></item>
+  </poses>
+ </item>
+</tracklets></boost_serialization>""")
+    out = tmp_path / "labels"
+    r = _run([osp.join(TOOLS, "tracklet2label.py"), "--xml", str(xml),
+              "--out", str(out)])
+    assert r.returncode == 0, r.stderr
+    files = sorted(os.listdir(out))
+    assert files == ["0000000002.npy", "0000000003.npy"]
+    boxes = np.load(out / files[0])
+    assert boxes.shape == (1, 24)
+    # box center is the pose translation (bottom center +h/2 in z)
+    c = boxes[0].reshape(3, 8)
+    np.testing.assert_allclose(c[0].mean(), 10.0, atol=1e-5)
+    np.testing.assert_allclose(c[2].mean(), -0.8 + 0.75, atol=1e-5)
+
+
+def test_experiment_script_exists():
+    sh = osp.join(REPO, "experiments", "scripts", "mv3d.sh")
+    assert osp.exists(sh)
+    yml = osp.join(REPO, "experiments", "cfgs", "faster_rcnn_end2end.yml")
+    from mv3d_tf_tpu.config import AttrDict, cfg_from_file, cfg
+    old = cfg.TEST.RPN_POST_NMS_TOP_N
+    cfg_from_file(yml)
+    assert cfg.TEST.RPN_POST_NMS_TOP_N == 300
+    assert cfg.TEST.NMS == 0.1
+    assert cfg.TRAIN.FG_THRESH == 0.7
+    cfg.TEST.RPN_POST_NMS_TOP_N = old
