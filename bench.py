@@ -27,7 +27,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from mv3d_tf_tpu.eval import build_detect_fn
+    from mv3d_tf_tpu.eval import build_detect_batch_fn, build_detect_fn
     from mv3d_tf_tpu.models import mv3d
     from mv3d_tf_tpu.ops import bev as bev_ops
 
@@ -38,12 +38,10 @@ def main():
     B = 8
     params = jax.device_put(mv3d.init_params(jax.random.PRNGKey(0)))
     detect = build_detect_fn(compute_dtype=jnp.bfloat16)
-    # params must be an ARGUMENT (closed-over pytrees become literal
-    # constants in the HLO -> hundreds of MB -> tunnel compile fails)
-    detect_vmapped = jax.jit(jax.vmap(detect, in_axes=(None, 0, 0, 0)))
+    detect_b = build_detect_batch_fn(compute_dtype=jnp.bfloat16)
 
     def detect_batch(b, i, c):
-        return detect_vmapped(params, b, i, c)
+        return detect_b(params, b, i, c)
 
     bev = jax.device_put(rng.rand(B, 601, 601, 9).astype(np.float32))
     image = jax.device_put((rng.rand(B, 384, 1248, 3) * 255)

@@ -238,9 +238,17 @@ class KittiMV3D:
         return path
 
     def evaluate_detections(self, all_boxes, all_boxes3D, output_dir=None):
-        """Writes KITTI result files (the reference's AP eval binary is
-        absent and its call commented out, kitti_mv3d.py:397-401)."""
-        return self._write_kitti_results_file(all_boxes, all_boxes3D)
+        """Writes KITTI result files AND computes BEV AP (the reference's
+        AP eval binary is absent and its call commented out,
+        kitti_mv3d.py:397-401 — kitti_eval.py is our working evaluator)."""
+        path = self._write_kitti_results_file(all_boxes, all_boxes3D)
+        if self._image_set != "test":
+            from mv3d_tf_tpu.data.kitti_eval import evaluate_kitti_bev
+            for thresh in (0.7, 0.5):
+                res = evaluate_kitti_bev(self, all_boxes, iou_thresh=thresh)
+                print("BEV AP@{:.1f} (car, R40): {:.4f}  [{} gt]".format(
+                    thresh, res["ap"], res["num_gt"]))
+        return path
 
 
 def prepare_roidb(imdb):
@@ -260,13 +268,21 @@ def prepare_roidb(imdb):
 _IMDB_FACTORY = {}
 
 
-def get_imdb(name, kitti_path=None):
-    """datasets.factory.get_imdb parity (lib/datasets/factory.py:80-85):
-    kitti_{train,val,trainval,test}."""
+def get_imdb(name, kitti_path=None, devkit_path=None):
+    """datasets.factory.get_imdb parity (lib/datasets/factory.py:29-85):
+    kitti_{train,val,trainval,test}, kitti_raw_<seq>, voc_<year>_<split>."""
     if name in _IMDB_FACTORY:
         return _IMDB_FACTORY[name]
-    if name.startswith("kitti_"):
+    if name.startswith("kitti_raw_"):
+        from mv3d_tf_tpu.data.kitti_raw import KittiRaw
+        imdb = KittiRaw(name[len("kitti_raw_"):], root=kitti_path)
+    elif name.startswith("kitti_"):
         imdb = KittiMV3D(name[len("kitti_"):], kitti_path=kitti_path)
-        _IMDB_FACTORY[name] = imdb
-        return imdb
-    raise KeyError("Unknown dataset: {}".format(name))
+    elif name.startswith("voc_"):
+        from mv3d_tf_tpu.data.pascal_voc import PascalVOC
+        _, year, split = name.split("_", 2)
+        imdb = PascalVOC(split, year, devkit_path)
+    else:
+        raise KeyError("Unknown dataset: {}".format(name))
+    _IMDB_FACTORY[name] = imdb
+    return imdb

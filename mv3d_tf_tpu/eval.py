@@ -81,6 +81,72 @@ def build_detect_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
     return detect
 
 
+def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
+                          post_nms_top_n=300, rpn_nms_thresh=0.7,
+                          compute_dtype=None):
+    """Natively batched multi-frame detector (throughput path).
+
+    Trunks/RPN/fusion-head run as ONE batched computation (bigger MXU
+    matmuls than vmapping the single-frame graph); only the cheap
+    proposal stage is vmapped per frame; ROI pooling gathers across
+    frames via the rois' batch-idx column.
+
+    Returns detect_batch(params, bev (B,...), image (B,...),
+    calib (B,4,12)) -> dict with leading dims (B, P).
+    """
+    max_img_h = int(IMG_BOUNDS[0] + 2 * IMG_PAD + 10)
+    max_img_w = int(IMG_BOUNDS[1] + 2 * IMG_PAD + 10)
+    import jax.numpy as jnp
+
+    @jax.jit
+    def detect_batch(params, bev, image, calib):
+        B = bev.shape[0]
+        image = image.astype(jnp.float32) - PIXEL_MEANS
+        c5, c5_2 = mv3d.extract_features(params, bev, image,
+                                         dtype=compute_dtype)
+        rpn_cls, rpn_box = mv3d.rpn_head(params, c5, dtype=compute_dtype)
+        prob = mv3d.rpn_probs(rpn_cls)
+
+        rois = jax.vmap(
+            lambda p, d, c: proposal_layer_3d(
+                p[None], d[None], c, feat_h, feat_w,
+                pre_nms_top_n=pre_nms_top_n, post_nms_top_n=post_nms_top_n,
+                nms_thresh=rpn_nms_thresh)
+        )(prob, rpn_box.astype(jnp.float32), calib)
+
+        P = post_nms_top_n
+        frame_idx = jnp.repeat(jnp.arange(B, dtype=jnp.float32), P)[:, None]
+        flat_bv = rois["rois_bv"].reshape(B * P, 5).at[:, 0:1].set(frame_idx)
+        flat_img = rois["rois_img"].reshape(B * P, 5).at[:, 0:1].set(frame_idx)
+
+        pooled_bv = roi_pool(c5, flat_bv, spatial_scale=1.0 / 8, chunk=512)
+        pooled_img = roi_pool(c5_2, flat_img, spatial_scale=1.0 / 8,
+                              max_in_h=max_img_h, max_in_w=max_img_w,
+                              chunk=512)
+        cls_score, cls_prob, bbox_pred = mv3d.fusion_head(
+            params, pooled_bv.astype(jnp.float32),
+            pooled_img.astype(jnp.float32))
+
+        boxes_3d = rois["rois_3d"].reshape(B * P, 7)[:, 1:7]
+        boxes_cnr = G.lidar_3d_to_corners(boxes_3d)
+        pred_cnr = jnp.concatenate([boxes_cnr, boxes_cnr], axis=1)
+        pred_cnr_r = G.bbox_transform_inv_cnr(boxes_cnr, bbox_pred)
+        pred_bv = G.corners_to_bv(pred_cnr)
+
+        valid = rois["valid"].reshape(B * P)
+        mask = valid[:, None].astype(jnp.float32)
+        return {
+            "scores": (cls_prob * mask).reshape(B, P, -1),
+            "boxes_bv": (pred_bv * mask).reshape(B, P, -1),
+            "boxes_cnr": (pred_cnr * mask).reshape(B, P, -1),
+            "boxes_cnr_r": (pred_cnr_r * mask).reshape(B, P, -1),
+            "rois_3d": rois["rois_3d"],
+            "valid": valid.reshape(B, P),
+        }
+
+    return detect_batch
+
+
 @functools.partial(jax.jit, static_argnames=("max_out",))
 def per_class_nms(boxes, scores, valid, max_out, nms_thresh, score_thresh):
     """Per-class post-processing (test_mv.py:420-444): threshold + NMS."""

@@ -31,13 +31,16 @@ def _c_round(x):
 
 
 @functools.partial(jax.jit, static_argnames=("pooled", "spatial_scale",
-                                             "max_in_h", "max_in_w"))
+                                             "max_in_h", "max_in_w",
+                                             "chunk"))
 def roi_pool(feat, rois, pooled=7, spatial_scale=1.0 / 8,
-             max_in_h=None, max_in_w=None):
+             max_in_h=None, max_in_w=None, chunk=None):
     """Max-pool ROIs from one feature map.
 
     Args:
-      feat: (H, W, C) float feature map (one frame).
+      feat: (H, W, C) single frame, or (B, H, W, C) batched — the frame a
+        roi pools from is its batch_idx column (native multi-frame
+        pooling beats vmapping the gathers).
       rois: (R, 5) float32 [batch_idx, x1, y1, x2, y2] in input coords.
       pooled: output bins per side (7).
       spatial_scale: feature stride reciprocal (1/8).
@@ -45,10 +48,31 @@ def roi_pool(feat, rois, pooled=7, spatial_scale=1.0 / 8,
         pixels (callers with unclipped rois — e.g. image-view boxes that
         run past the frame — must pass their true bound; defaults assume
         rois are clipped to the feature extent).
+      chunk: process rois in sequential blocks of this size (lax.map) —
+        bounds the (chunk, pooled, W, C) stage-1 intermediate so large
+        multi-frame roi sets don't exhaust HBM.
     Returns:
       (R, pooled, pooled, C) pooled features.
     """
-    H, W, C = feat.shape
+    if chunk is not None and rois.shape[0] > chunk:
+        r = rois.shape[0]
+        pad = (-r) % chunk
+        rois_p = jnp.concatenate(
+            [rois, jnp.zeros((pad, 5), rois.dtype)], axis=0)
+        blocks = rois_p.reshape(-1, chunk, 5)
+        out = jax.lax.map(
+            lambda rb: roi_pool(feat, rb, pooled=pooled,
+                                spatial_scale=spatial_scale,
+                                max_in_h=max_in_h, max_in_w=max_in_w),
+            blocks)
+        return out.reshape(-1, pooled, pooled, feat.shape[-1])[:r]
+
+    batched = feat.ndim == 4
+    if batched:
+        _, H, W, C = feat.shape
+        bidx = rois[:, 0].astype(jnp.int32)
+    else:
+        H, W, C = feat.shape
     R = rois.shape[0]
     dtype = feat.dtype
 
@@ -91,16 +115,20 @@ def roi_pool(feat, rois, pooled=7, spatial_scale=1.0 / 8,
     wlen = wend - wstart
 
     # stage 1: per (roi, ph) max over bin rows -> (R, pooled, W, C)
-    # (lax.fori_loop, not a Python unroll: keeps the HLO small enough to
-    # vmap the whole detector over a frame batch)
+    # (unrolled: ~mb_h+mb_w gathers fuse well and the HLO stays small;
+    # the big-program hazard is closed-over params, not this unroll)
     def h_body(k, m1):
         idx = jnp.clip(hs_i + k, 0, H - 1)              # (R, pooled)
-        rows = feat[idx]                                # (R, pooled, W, C)
+        if batched:
+            rows = feat[bidx[:, None], idx]             # (R, pooled, W, C)
+        else:
+            rows = feat[idx]                            # (R, pooled, W, C)
         ok = (k < hlen)[:, :, None, None]
         return jnp.maximum(m1, jnp.where(ok, rows, neg))
 
-    m1 = jax.lax.fori_loop(0, mb_h, h_body,
-                           jnp.full((R, pooled, W, C), neg, dtype))
+    m1 = jnp.full((R, pooled, W, C), neg, dtype)
+    for k in range(mb_h):
+        m1 = h_body(k, m1)
 
     # stage 2: per (roi, ph, pw) max over bin cols -> (R, pooled, pooled, C)
     m1t = jnp.swapaxes(m1, 1, 2)                        # (R, W, pooled, C)
@@ -112,8 +140,9 @@ def roi_pool(feat, rois, pooled=7, spatial_scale=1.0 / 8,
         ok = (k < wlen)[:, None, :, None]
         return jnp.maximum(out, jnp.where(ok, cols, neg))
 
-    out = jax.lax.fori_loop(0, mb_w, w_body,
-                            jnp.full((R, pooled, pooled, C), neg, dtype))
+    out = jnp.full((R, pooled, pooled, C), neg, dtype)
+    for k in range(mb_w):
+        out = w_body(k, out)
 
     # empty bins -> 0 (cu.cc:65-68)
     is_empty = ((hend <= hstart)[:, :, None] | (wend <= wstart)[:, None, :])

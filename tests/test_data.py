@@ -92,7 +92,7 @@ def test_imdb_factory(kitti_root):
     db = get_imdb("kitti_val", kitti_path=kitti_root)
     assert db.name == "kitti_val"
     with pytest.raises(KeyError):
-        get_imdb("voc_2007_train")
+        get_imdb("cityscapes_train")
 
 
 def test_evaluate_detections_writes_files(imdb, tmp_path):
