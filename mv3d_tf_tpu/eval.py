@@ -21,7 +21,7 @@ from mv3d_tf_tpu import geometry as G
 from mv3d_tf_tpu.config import cfg
 from mv3d_tf_tpu.models import mv3d
 from mv3d_tf_tpu.ops.nms import nms, nms_np
-from mv3d_tf_tpu.ops.roi_pool import roi_pool
+from mv3d_tf_tpu.ops.roi_pool import roi_pool_fast
 from mv3d_tf_tpu.proposals import IMG_BOUNDS, IMG_PAD, proposal_layer_3d
 
 PIXEL_MEANS = np.array([95.8814, 98.7743, 93.8549], np.float32)  # config.py:211
@@ -53,12 +53,13 @@ def build_detect_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
                                  post_nms_top_n=post_nms_top_n,
                                  nms_thresh=rpn_nms_thresh)
 
-        pooled_bv = roi_pool(c5[0], rois["rois_bv"], spatial_scale=1.0 / 8)
-        pooled_img = roi_pool(c5_2[0], rois["rois_img"], spatial_scale=1.0 / 8,
-                              max_in_h=max_img_h, max_in_w=max_img_w)
+        pooled_bv = roi_pool_fast(c5[0], rois["rois_bv"],
+                                  spatial_scale=1.0 / 8)
+        pooled_img = roi_pool_fast(c5_2[0], rois["rois_img"],
+                                   spatial_scale=1.0 / 8,
+                                   max_in_h=max_img_h, max_in_w=max_img_w)
         cls_score, cls_prob, bbox_pred = mv3d.fusion_head(
-            params, pooled_bv.astype(jnp.float32),
-            pooled_img.astype(jnp.float32))
+            params, pooled_bv, pooled_img, dtype=compute_dtype)
 
         boxes_3d = rois["rois_3d"][:, 1:7]
         boxes_cnr = G.lidar_3d_to_corners(boxes_3d)
@@ -119,13 +120,13 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
         flat_bv = rois["rois_bv"].reshape(B * P, 5).at[:, 0:1].set(frame_idx)
         flat_img = rois["rois_img"].reshape(B * P, 5).at[:, 0:1].set(frame_idx)
 
-        pooled_bv = roi_pool(c5, flat_bv, spatial_scale=1.0 / 8, chunk=512)
-        pooled_img = roi_pool(c5_2, flat_img, spatial_scale=1.0 / 8,
-                              max_in_h=max_img_h, max_in_w=max_img_w,
-                              chunk=512)
+        pooled_bv = roi_pool_fast(c5, flat_bv, spatial_scale=1.0 / 8,
+                                  chunk=512)
+        pooled_img = roi_pool_fast(c5_2, flat_img, spatial_scale=1.0 / 8,
+                                   max_in_h=max_img_h, max_in_w=max_img_w,
+                                   chunk=512)
         cls_score, cls_prob, bbox_pred = mv3d.fusion_head(
-            params, pooled_bv.astype(jnp.float32),
-            pooled_img.astype(jnp.float32))
+            params, pooled_bv, pooled_img, dtype=compute_dtype)
 
         boxes_3d = rois["rois_3d"].reshape(B * P, 7)[:, 1:7]
         boxes_cnr = G.lidar_3d_to_corners(boxes_3d)

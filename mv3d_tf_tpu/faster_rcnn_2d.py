@@ -24,7 +24,7 @@ from mv3d_tf_tpu import geometry as G
 from mv3d_tf_tpu.anchors import generate_anchors, inside_image_mask, \
     shift_anchors
 from mv3d_tf_tpu.ops.iou import bbox_overlaps
-from mv3d_tf_tpu.ops.nms import nms, top_k_by_score
+from mv3d_tf_tpu.ops.nms import nms_matrix, top_k_by_score
 from mv3d_tf_tpu.targets import _sample_mask
 
 _GRID2D_CACHE = {}
@@ -73,8 +73,8 @@ def proposal_layer_2d(rpn_cls_prob, rpn_bbox_pred, im_info,
     props = proposals[top_idx]
     psc = scores[top_idx]
 
-    keep_idx, keep_valid = nms(props, psc, top_valid, post_nms_top_n,
-                               nms_thresh)
+    keep_idx, keep_valid = nms_matrix(props, psc, top_valid,
+                                      post_nms_top_n, nms_thresh)
     zeros = jnp.zeros((post_nms_top_n, 1), jnp.float32)
     rois = jnp.concatenate([zeros, props[keep_idx]], axis=1)
     mask = keep_valid[:, None].astype(jnp.float32)

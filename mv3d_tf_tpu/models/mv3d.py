@@ -66,10 +66,17 @@ def init_params(key, bev_channels=9, fc_dim=2048, pooled=7):
 
 
 def fc_apply(p, x, relu=True):
-    """FC with the reference's channel-major 4D flatten (network.py:376-396)."""
+    """FC over 4D inputs flattened NHWC (network.py:369-397 equivalence).
+
+    The reference flattens channel-major (transpose NCHW then reshape,
+    network.py:376-381); that transpose is expensive on TPU, so here the
+    input flattens NHWC directly and the WEIGHT ROWS of imported fc6
+    checkpoints are permuted once at load time instead
+    (utils/weights.py) — end-to-end behavior is identical.
+    """
     if x.ndim == 4:
         n = x.shape[0]
-        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, -1)
+        x = x.reshape(n, -1)
     precision = (jax.lax.Precision.HIGHEST
                  if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
     y = (jnp.matmul(x, p["weights"].astype(x.dtype), precision=precision)
@@ -131,7 +138,7 @@ def rpn_fg_scores(rpn_cls_prob_reshape):
 
 
 def fusion_head(params, pooled_bv, pooled_img, keep_prob=1.0, rng=None,
-                train=False):
+                train=False, dtype=None):
     """ROI-pooled features from both views -> class scores + corner deltas.
 
     Train graph (MV3D_train.py:158-182): fc6->drop->fc7->drop per view,
@@ -144,6 +151,10 @@ def fusion_head(params, pooled_bv, pooled_img, keep_prob=1.0, rng=None,
         k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
     else:
         k1 = k2 = k3 = k4 = k5 = None
+
+    if dtype is not None:
+        pooled_bv = pooled_bv.astype(dtype)
+        pooled_img = pooled_img.astype(dtype)
 
     f1 = fc_apply(params["fc6_1"], pooled_bv)
     f1 = dropout(k1, f1, keep_prob)

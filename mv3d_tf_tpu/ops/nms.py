@@ -23,6 +23,61 @@ NEG_INF = jnp.float32(-1e30)
 
 
 @functools.partial(jax.jit, static_argnames=("max_out",))
+def nms_matrix(boxes, scores, valid, max_out, iou_threshold=0.7):
+    """Exact greedy NMS via fixpoint iteration on the sorted IoU mask.
+
+    Replaces the O(max_out) sequential scan with a handful of (N,)x(N,N)
+    mask products: sort by score, build the strict-upper-triangular
+    suppression mask (i suppresses j>i when IoU >= thresh), then iterate
+      kept[j] <- valid[j] & no kept i<j suppresses j
+    until fixpoint. Converges to the EXACT greedy keep set (each
+    iteration finalizes at least one more suppression-chain level; the
+    while_loop exits as soon as nothing changes — typically 3-6 rounds).
+    Same keep-set semantics as cpu_nms.pyx:17-68 / the scan version.
+
+    Memory: the N x N bool mask (e.g. 6000^2 = 36 MB) — use the scan
+    version if N is huge and memory-constrained.
+    """
+    from mv3d_tf_tpu.ops.iou import bbox_overlaps
+
+    boxes = jnp.asarray(boxes, jnp.float32)
+    n = boxes.shape[0]
+    active = valid & jnp.isfinite(scores)
+    masked_scores = jnp.where(active, scores, NEG_INF)
+    order = jnp.argsort(-masked_scores)
+    boxes_s = boxes[order]
+    valid_s = active[order]
+
+    iou = bbox_overlaps(boxes_s, boxes_s)
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    sup = ((iou >= iou_threshold) & (i_idx < j_idx)
+           & valid_s[:, None] & valid_s[None, :]).astype(jnp.float32)
+
+    def body(state):
+        kept, _ = state
+        hit = jnp.matmul(kept.astype(jnp.float32), sup,
+                         precision=jax.lax.Precision.DEFAULT)
+        new = valid_s & (hit < 0.5)
+        return new, kept
+
+    def cond(state):
+        kept, prev = state
+        return jnp.any(kept != prev)
+
+    kept, _ = jax.lax.while_loop(cond, body, (valid_s, ~valid_s))
+
+    # pack the first max_out kept (already score-ordered) into fixed slots
+    rank = jnp.cumsum(kept.astype(jnp.int32)) - 1
+    slot = jnp.where(kept & (rank < max_out), rank, max_out)
+    keep_idx = (jnp.zeros((max_out + 1,), jnp.int32)
+                .at[slot].set(order.astype(jnp.int32))[:max_out])
+    n_kept = jnp.minimum(jnp.sum(kept), max_out)
+    keep_valid = jnp.arange(max_out) < n_kept
+    return keep_idx * keep_valid, keep_valid
+
+
+@functools.partial(jax.jit, static_argnames=("max_out",))
 def nms(boxes, scores, valid, max_out, iou_threshold=0.7):
     """Greedy NMS with static shapes.
 

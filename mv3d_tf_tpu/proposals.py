@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from mv3d_tf_tpu import geometry as G
 from mv3d_tf_tpu.anchors import get_anchor_grid
 from mv3d_tf_tpu.models.mv3d import rpn_fg_scores
-from mv3d_tf_tpu.ops.nms import nms, top_k_by_score
+from mv3d_tf_tpu.ops.nms import nms_matrix, top_k_by_score
 
 # the reference hardcodes the camera image bounds + padding rather than
 # using the real image size (proposal_layer_tf.py:146-147,343-352)
@@ -82,7 +82,8 @@ def proposal_layer_3d(rpn_cls_prob, rpn_bbox_pred, calib,
     psc = scores[top_idx]
 
     # greedy BEV NMS + post-NMS top-N (proposal_layer_tf.py:172-178)
-    keep_idx, keep_valid = nms(bv, psc, top_valid, post_nms_top_n, nms_thresh)
+    keep_idx, keep_valid = nms_matrix(bv, psc, top_valid, post_nms_top_n,
+                                      nms_thresh)
 
     zeros = jnp.zeros((post_nms_top_n, 1), jnp.float32)
     out_bv = jnp.concatenate([zeros, bv[keep_idx]], axis=1)

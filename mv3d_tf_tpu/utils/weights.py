@@ -14,11 +14,26 @@ np.random.randint(4096, size=2048) for fc6_1/fc6_2/fc7_1/fc7_2.
 import numpy as np
 
 
+def _fc_row_perm(n_rows, pooled=7, channels=512):
+    """Row permutation mapping the reference's channel-major fc flatten
+    (c, h, w) to our NHWC flatten (h, w, c). models/mv3d.fc_apply skips
+    the reference's NCHW transpose; imported fc weights acting on pooled
+    feature maps must have their rows reordered to match."""
+    return (np.arange(n_rows).reshape(channels, pooled, pooled)
+            .transpose(1, 2, 0).reshape(-1))
+
+
+# fc layers whose inputs are ROI-pooled maps in the reference graphs
+_POOLED_FC_KEYS = ("fc6", "fc6_1", "fc6_2")
+
+
 def load_npy_weights(params, path_or_dict, ignore_missing=True, log=print):
     """Merge a reference-style .npy weight dict into a param pytree.
 
     Returns a NEW pytree; assignment skips unknown names and (when
-    ignore_missing) shape mismatches, like network.py:52-64.
+    ignore_missing) shape mismatches, like network.py:52-64. fc6-family
+    weight rows are permuted from the reference's channel-major flatten
+    to NHWC (see _fc_row_perm).
     """
     if isinstance(path_or_dict, (str, bytes)):
         data = np.load(path_or_dict, allow_pickle=True).item()
@@ -46,9 +61,13 @@ def load_npy_weights(params, path_or_dict, ignore_missing=True, log=print):
                 if not ignore_missing:
                     raise ValueError((key, subkey))
                 continue
-            new_layer[subkey] = np.asarray(value,
-                                           dtype=np.asarray(
-                                               new_layer[subkey]).dtype)
+            arr = np.asarray(value,
+                             dtype=np.asarray(new_layer[subkey]).dtype)
+            if (key in _POOLED_FC_KEYS and subkey == "weights"
+                    and arr.ndim == 2 and arr.shape[0] % 49 == 0):
+                channels = arr.shape[0] // 49
+                arr = arr[_fc_row_perm(arr.shape[0], 7, channels)]
+            new_layer[subkey] = arr
             if log:
                 log("assign pretrain model " + subkey + " to " + key)
         out[key] = new_layer

@@ -60,15 +60,20 @@ def test_conv_matches_manual():
     assert (y2 >= 0).all()
 
 
-def test_fc_channel_major_flatten(params):
-    # the reference flattens NHWC 4D inputs as NCHW (network.py:376-381);
-    # check our fc matches a manual NCHW-flatten matmul
+def test_fc_nhwc_flatten_with_import_perm(params):
+    # fc_apply flattens NHWC; imported reference (channel-major) fc6
+    # weights are row-permuted at load so the end result matches the
+    # reference's transpose+matmul exactly
     rng = np.random.RandomState(2)
     x = rng.randn(3, 7, 7, 512).astype(np.float32)
-    p = params["fc6_1"]
-    y = np.asarray(mv3d.fc_apply(p, jnp.asarray(x)))
+    ref_w = rng.randn(25088, 2048).astype(np.float32) * 0.01
+    ref_b = np.zeros(2048, np.float32)
+    new = W.load_npy_weights(params, {"fc6_1": {"weights": ref_w,
+                                                "biases": ref_b}}, log=None)
+    y = np.asarray(mv3d.fc_apply(new["fc6_1"], jnp.asarray(x)))
+    # reference semantics: NCHW flatten @ original weights
     flat = np.transpose(x, (0, 3, 1, 2)).reshape(3, -1)
-    exp = np.maximum(flat @ np.asarray(p["weights"]) + np.asarray(p["biases"]), 0)
+    exp = np.maximum(flat @ ref_w + ref_b, 0)
     np.testing.assert_allclose(y, exp, rtol=2e-2, atol=2e-2)
 
 

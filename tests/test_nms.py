@@ -91,3 +91,39 @@ def test_top_k_by_score(rng):
     assert val[:n_valid].all() and not val[n_valid:].any()
     exp = np.argsort(np.where(valid, scores, -np.inf))[::-1][:n_valid]
     np.testing.assert_array_equal(idx[:n_valid], exp)
+
+
+def test_nms_matrix_matches_greedy_oracle(rng):
+    from mv3d_tf_tpu.ops.nms import nms_matrix
+    for trial in range(5):
+        dets = _rand_dets(rng, 200, span=150.0)
+        for thresh in (0.3, 0.5, 0.7):
+            exp = nms_np(dets, thresh)
+            idx, val = nms_matrix(dets[:, :4], dets[:, 4],
+                                  np.ones(len(dets), bool), 200, thresh)
+            got = list(np.asarray(idx)[np.asarray(val)])
+            assert got == exp, f"trial {trial} thresh {thresh}"
+
+
+def test_nms_matrix_cascade_and_masks(rng):
+    from mv3d_tf_tpu.ops.nms import nms_matrix
+    # suppression chain: greedy must keep [0, 2]
+    boxes = np.array([[0, 0, 100, 100], [60, 0, 160, 100],
+                      [120, 0, 220, 100]], np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    idx, val = nms_matrix(boxes, scores, np.ones(3, bool), 3, 0.2)
+    assert list(np.asarray(idx)[np.asarray(val)]) == [0, 2]
+    # deep chain (worst case for fixpoint iteration)
+    n = 30
+    boxes = np.stack([np.arange(n) * 60.0, np.zeros(n),
+                      np.arange(n) * 60.0 + 100, np.full(n, 100.0)],
+                     1).astype(np.float32)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    idx, val = nms_matrix(boxes, scores, np.ones(n, bool), n, 0.2)
+    exp = nms_np(np.hstack([boxes, scores[:, None]]), 0.2)
+    assert list(np.asarray(idx)[np.asarray(val)]) == exp
+    # validity mask respected + truncation
+    valid = np.zeros(n, bool); valid[:10] = True
+    idx, val = nms_matrix(boxes, scores, valid, 4, 0.2)
+    exp = nms_np(np.hstack([boxes[:10], scores[:10, None]]), 0.2)[:4]
+    assert list(np.asarray(idx)[np.asarray(val)]) == exp

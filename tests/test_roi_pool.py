@@ -85,3 +85,34 @@ def test_vmap_over_frames(rng):
     for b in range(2):
         np.testing.assert_array_equal(np.asarray(out[b]),
                                       roi_pool_np(feats[b], rois[b]))
+
+
+def test_pallas_kernel_matches_oracle_interpret(rng):
+    """The Pallas fast path (interpret mode on CPU) is bit-exact vs the
+    CUDA-loop oracle, including batched feature maps."""
+    from mv3d_tf_tpu.ops.roi_pool_pallas import roi_pool_pallas
+    feat = rng.randn(20, 24, 8).astype(np.float32)
+    rois = _rand_rois(rng, 10, 160, 192)
+    got = np.asarray(roi_pool_pallas(feat, rois, spatial_scale=1 / 8,
+                                     interpret=True))
+    exp = roi_pool_np(feat, rois, spatial_scale=1 / 8)
+    np.testing.assert_array_equal(got, exp)
+    # batched: rois spread over 2 frames via the batch-idx column
+    feats = rng.randn(2, 20, 24, 8).astype(np.float32)
+    rois2 = _rand_rois(rng, 10, 160, 192)
+    rois2[5:, 0] = 1.0
+    got2 = np.asarray(roi_pool_pallas(feats, rois2, spatial_scale=1 / 8,
+                                      interpret=True))
+    exp2 = np.concatenate([roi_pool_np(feats[0], rois2[:5],
+                                       spatial_scale=1 / 8),
+                           roi_pool_np(feats[1], rois2[5:],
+                                       spatial_scale=1 / 8)])
+    np.testing.assert_array_equal(got2, exp2)
+
+
+def test_roi_pool_chunked_matches(rng):
+    feat = rng.randn(20, 24, 8).astype(np.float32)
+    rois = _rand_rois(rng, 50, 160, 192)
+    a = np.asarray(roi_pool(feat, rois, spatial_scale=1 / 8))
+    b = np.asarray(roi_pool(feat, rois, spatial_scale=1 / 8, chunk=16))
+    np.testing.assert_array_equal(a, b)
