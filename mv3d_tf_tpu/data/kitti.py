@@ -21,13 +21,16 @@ import numpy as np
 
 from mv3d_tf_tpu import geometry as G
 from mv3d_tf_tpu.config import cfg
+from mv3d_tf_tpu.data.imdb_base import Imdb
 
 
-class KittiMV3D:
-    """classes = ('__background__', 'Car') (kitti_mv3d.py:29)."""
+class KittiMV3D(Imdb):
+    """classes = ('__background__', 'Car') (kitti_mv3d.py:29); inherits
+    the imdb base capabilities (flip augmentation, recall evaluation,
+    box-list roidb construction)."""
 
     def __init__(self, image_set, kitti_path=None):
-        self.name = "kitti_" + image_set
+        super().__init__("kitti_" + image_set)
         self._image_set = image_set
         self._kitti_path = (kitti_path if kitti_path is not None
                             else osp.join(cfg.DATA_DIR, "KITTI"))
@@ -38,38 +41,9 @@ class KittiMV3D:
         self._lidar_ext = ".npy"
         self._subset = "car"
         self._image_index = self._load_image_set_index()
-        self._roidb = None
+        self._roidb_handler = self.gt_roidb
         assert osp.exists(self._kitti_path), \
             "KITTI path does not exist: " + self._kitti_path
-
-    # -- identity ------------------------------------------------------------
-    @property
-    def classes(self):
-        return self._classes
-
-    @property
-    def num_classes(self):
-        return len(self._classes)
-
-    @property
-    def image_index(self):
-        return self._image_index
-
-    @property
-    def num_images(self):
-        return len(self._image_index)
-
-    @property
-    def cache_path(self):
-        path = osp.join(cfg.DATA_DIR, "cache")
-        os.makedirs(path, exist_ok=True)
-        return path
-
-    @property
-    def roidb(self):
-        if self._roidb is None:
-            self._roidb = self.gt_roidb()
-        return self._roidb
 
     # -- paths ---------------------------------------------------------------
     def _prefix(self):
@@ -282,6 +256,23 @@ def get_imdb(name, kitti_path=None, devkit_path=None):
         from mv3d_tf_tpu.data.pascal_voc import PascalVOC
         _, year, split = name.split("_", 2)
         imdb = PascalVOC(split, year, devkit_path)
+    elif name.startswith("kitti_tracking_"):
+        from mv3d_tf_tpu.data.extra_datasets import KittiTracking
+        _, _, split, seq = name.split("_", 3)
+        imdb = KittiTracking(split, seq, root=kitti_path)
+    elif name.startswith("coco_"):
+        from mv3d_tf_tpu.data.extra_datasets import Coco
+        _, year, split = name.split("_", 2)
+        imdb = Coco(split, year, data_path=kitti_path or devkit_path)
+    elif name.startswith("pascal3d_"):
+        from mv3d_tf_tpu.data.extra_datasets import Pascal3D
+        imdb = Pascal3D(name[len("pascal3d_"):], devkit_path)
+    elif name.startswith("imagenet3d_"):
+        from mv3d_tf_tpu.data.extra_datasets import Imagenet3D
+        imdb = Imagenet3D(name[len("imagenet3d_"):], devkit_path)
+    elif name in ("nissan", "nthu"):
+        from mv3d_tf_tpu.data.extra_datasets import ImageListDataset
+        imdb = ImageListDataset(name, image_dir=kitti_path or devkit_path)
     else:
         raise KeyError("Unknown dataset: {}".format(name))
     _IMDB_FACTORY[name] = imdb

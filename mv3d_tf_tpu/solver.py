@@ -24,8 +24,17 @@ from mv3d_tf_tpu.utils.timer import Timer
 
 def train_net(imdb, roidb, output_dir, pretrained_model=None,
               max_iters=10000, compute_dtype=None, seed=None,
-              display=None, snapshot_iters=None, log=print):
-    """Train MV3D on a roidb. Returns final params."""
+              display=None, snapshot_iters=None, log=print,
+              resume=False, trace_dir=None):
+    """Train MV3D on a roidb. Returns final params.
+
+    resume=True restores the latest snapshot in output_dir INCLUDING
+    optimizer state (a capability the reference lacks — it restarts Adam
+    from scratch every run, train_mv.py:146-155).
+    trace_dir (or cfg.TRAIN.DEBUG_TIMELINE) captures a profiler trace of
+    iterations 2-4, the TPU equivalent of the reference's Chrome-trace
+    timelines (train_mv.py:188-192).
+    """
     roidb = filter_roidb(roidb)
     display = cfg.TRAIN.DISPLAY if display is None else display
     snapshot_iters = (cfg.TRAIN.SNAPSHOT_ITERS if snapshot_iters is None
@@ -46,11 +55,30 @@ def train_net(imdb, roidb, output_dir, pretrained_model=None,
         rois_per_image=cfg.TRAIN.BATCH_SIZE,
         compute_dtype=compute_dtype)
     opt_state = tx.init(params)
+
+    start_iter = 0
+    if resume:
+        from mv3d_tf_tpu.utils.checkpoint import (latest_snapshot,
+                                                  load_checkpoint)
+        snap = latest_snapshot(output_dir)
+        if snap is not None:
+            params, opt_state = load_checkpoint(snap, params, opt_state)
+            start_iter = int(snap.rsplit("_iter_", 1)[1])
+            log("Resumed from {} (iter {})".format(snap, start_iter))
+
     data_layer = RoIDataLayer(roidb, imdb.num_classes)
+
+    if cfg.TRAIN.DEBUG_TIMELINE and trace_dir is None:
+        trace_dir = os.path.join(output_dir, "traces")
 
     timer = Timer()
     last_snapshot_iter = -1
-    for it in range(max_iters):
+    for it in range(start_iter, max_iters):
+        if trace_dir is not None and it == start_iter + 2:
+            jax.profiler.start_trace(trace_dir)
+        if trace_dir is not None and it == start_iter + 5:
+            jax.profiler.stop_trace()
+            log("profiler trace written to " + trace_dir)
         blobs = data_layer.forward()
         batch = {k: blobs[k] for k in ("bev", "image", "calib", "gt_boxes_bv",
                                        "gt_boxes_3d", "gt_boxes_corners",
@@ -134,3 +162,157 @@ def test_net(params, imdb, weights_filename="default", max_per_image=300,
     log("Evaluating detections")
     imdb.evaluate_detections(all_boxes, all_boxes_cnr, output_dir)
     return all_boxes, all_boxes_cnr
+
+
+# --------------------------------------------------------------------------
+# Legacy 2D Faster R-CNN solver (lib/fast_rcnn/train.py / test.py surface)
+# --------------------------------------------------------------------------
+
+def _prep_image_2d(path, bucket_hw, target_size=None, max_size=None):
+    """Load + scale (prep_im_for_blob) + pad to the static bucket."""
+    from mv3d_tf_tpu.data.blob import prep_im_for_blob
+    from mv3d_tf_tpu.data.loader import load_image_bgr
+    target_size = cfg.TRAIN.SCALES[0] if target_size is None else target_size
+    max_size = cfg.TRAIN.MAX_SIZE if max_size is None else max_size
+    raw = load_image_bgr(path)
+    im, scale = prep_im_for_blob(raw, cfg.PIXEL_MEANS.reshape(1, 1, 3),
+                                 target_size, max_size)
+    h = min(im.shape[0], bucket_hw[0])
+    w = min(im.shape[1], bucket_hw[1])
+    out = np.zeros((bucket_hw[0], bucket_hw[1], 3), np.float32)
+    out[:h, :w] = im[:h, :w]
+    return out, np.array([h, w, scale], np.float32)
+
+
+def train_net_2d(imdb, roidb, output_dir, pretrained_model=None,
+                 max_iters=10000, compute_dtype=None, seed=None,
+                 bucket_hw=(608, 1024), max_gt=32, log=print):
+    """Train the legacy 2D Faster R-CNN (momentum SGD, staircase lr decay,
+    frozen conv1/conv2, bbox-normalized targets; snapshot unnormalizes
+    bbox_pred like train.py:44-80). Images scale via prep_im_for_blob and
+    pad to a static bucket (TPU shapes must be fixed)."""
+    from mv3d_tf_tpu.faster_rcnn_2d import (build_train_step_2d,
+                                            snapshot_unnormalize_2d)
+    from mv3d_tf_tpu.models import vggnet
+
+    key = jax.random.PRNGKey(cfg.RNG_SEED if seed is None else seed)
+    key, k_init = jax.random.split(key)
+    params = vggnet.init_params_2d(k_init, n_classes=imdb.num_classes)
+    if pretrained_model is not None:
+        params = load_pretrained(params, pretrained_model)
+
+    step, tx = build_train_step_2d(
+        bucket_hw[0] // 16, bucket_hw[1] // 16,
+        lr=cfg.TRAIN.LEARNING_RATE, momentum=cfg.TRAIN.MOMENTUM,
+        stepsize=cfg.TRAIN.STEPSIZE, gamma=cfg.TRAIN.GAMMA,
+        rois_per_image=cfg.TRAIN.BATCH_SIZE,
+        pre_nms_top_n=cfg.TRAIN.RPN_PRE_NMS_TOP_N,
+        post_nms_top_n=cfg.TRAIN.RPN_POST_NMS_TOP_N,
+        n_classes=imdb.num_classes, compute_dtype=compute_dtype,
+        bbox_normalize=cfg.TRAIN.BBOX_NORMALIZE_TARGETS_PRECOMPUTED)
+    opt_state = tx.init(params)
+
+    rng = np.random.RandomState(cfg.RNG_SEED)
+    perm = rng.permutation(len(roidb))
+    cur = 0
+    timer = Timer()
+    for it in range(max_iters):
+        if cur >= len(perm):
+            perm = rng.permutation(len(roidb))
+            cur = 0
+        entry = roidb[perm[cur]]
+        cur += 1
+        image, im_info = _prep_image_2d(entry["image_path"]
+                                        if "image_path" in entry
+                                        else imdb.image_path_at(perm[cur - 1]),
+                                        bucket_hw)
+        gt = np.zeros((max_gt, 5), np.float32)
+        gt_valid = np.zeros(max_gt, bool)
+        inds = np.where(entry["gt_classes"] != 0)[0][:max_gt]
+        gt[:len(inds), :4] = entry["boxes"][inds] * im_info[2]
+        gt[:len(inds), 4] = entry["gt_classes"][inds]
+        gt_valid[:len(inds)] = True
+        batch = {"image": image, "im_info": im_info,
+                 "gt_boxes": gt, "gt_valid": gt_valid}
+        key, k_step = jax.random.split(key)
+        timer.tic()
+        params, opt_state, m = step(params, opt_state, batch, k_step)
+        jax.block_until_ready(m)
+        timer.toc()
+        if (it + 1) % cfg.TRAIN.DISPLAY == 0:
+            log("iter: %d / %d, total loss: %.4f (%.3fs/iter)"
+                % (it + 1, max_iters, float(m["loss"]), timer.average_time))
+        if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
+            snap = (snapshot_unnormalize_2d(params,
+                                            cfg.TRAIN.BBOX_NORMALIZE_MEANS,
+                                            cfg.TRAIN.BBOX_NORMALIZE_STDS,
+                                            imdb.num_classes)
+                    if cfg.TRAIN.BBOX_NORMALIZE_TARGETS_PRECOMPUTED
+                    else params)
+            save_checkpoint(output_dir, it + 1, snap, opt_state)
+    save_checkpoint(output_dir, max_iters,
+                    snapshot_unnormalize_2d(params,
+                                            cfg.TRAIN.BBOX_NORMALIZE_MEANS,
+                                            cfg.TRAIN.BBOX_NORMALIZE_STDS,
+                                            imdb.num_classes)
+                    if cfg.TRAIN.BBOX_NORMALIZE_TARGETS_PRECOMPUTED
+                    else params, opt_state)
+    return params
+
+
+def test_net_2d(params, imdb, weights_filename="default", max_per_image=100,
+                thresh=0.05, compute_dtype=None, bucket_hw=(608, 1024),
+                log=print):
+    """Evaluate the 2D detector over an imdb (test.py:216-346 test_net):
+    per-class threshold + NMS, top-N cap, detections pickle, then the
+    imdb's own evaluation (VOC AP for pascal_voc)."""
+    from mv3d_tf_tpu.faster_rcnn_2d import build_im_detect_2d
+    from mv3d_tf_tpu.ops.nms import nms_np
+
+    num_images = imdb.num_images
+    k = imdb.num_classes
+    all_boxes = [[[] for _ in range(num_images)] for _ in range(k)]
+    output_dir = get_output_dir(imdb, weights_filename)
+
+    detect = build_im_detect_2d(
+        bucket_hw[0] // 16, bucket_hw[1] // 16,
+        pre_nms_top_n=cfg.TEST.RPN_PRE_NMS_TOP_N,
+        post_nms_top_n=cfg.TEST.RPN_POST_NMS_TOP_N,
+        compute_dtype=compute_dtype, n_classes=k)
+
+    timer = Timer()
+    for i in range(num_images):
+        image, im_info = _prep_image_2d(imdb.image_path_at(i), bucket_hw,
+                                        cfg.TEST.SCALES[0],
+                                        cfg.TEST.MAX_SIZE)
+        timer.tic()
+        out = detect(params, jax.device_put(image), jax.device_put(im_info))
+        jax.block_until_ready(out)
+        timer.toc()
+        scores = np.asarray(out["scores"])
+        boxes = np.asarray(out["boxes"]) / im_info[2]   # back to image coords
+        valid = np.asarray(out["valid"])
+        for j in range(1, k):
+            inds = np.where(valid & (scores[:, j] > thresh))[0]
+            dets = np.hstack([boxes[inds, 4 * j:4 * (j + 1)],
+                              scores[inds, j:j + 1]]).astype(np.float32)
+            keep = nms_np(dets, cfg.TEST.NMS)
+            all_boxes[j][i] = dets[keep]
+        if max_per_image > 0:
+            flat = np.concatenate([all_boxes[j][i][:, -1]
+                                   for j in range(1, k)
+                                   if len(all_boxes[j][i])] or [np.zeros(0)])
+            if len(flat) > max_per_image:
+                t = np.sort(flat)[-max_per_image]
+                for j in range(1, k):
+                    if len(all_boxes[j][i]):
+                        all_boxes[j][i] = all_boxes[j][i][
+                            all_boxes[j][i][:, -1] >= t]
+        log("im_detect: {:d}/{:d} {:.3f}s".format(i + 1, num_images,
+                                                  timer.average_time))
+
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "detections.pkl"), "wb") as f:
+        pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
+    log("Evaluating detections")
+    return imdb.evaluate_detections(all_boxes)

@@ -29,6 +29,8 @@ def parse_args():
                         default="MV3D_test", type=str)
     parser.add_argument("--kitti_path", dest="kitti_path", default=None,
                         type=str)
+    parser.add_argument("--devkit_path", dest="devkit_path", default=None,
+                        type=str, help="VOCdevkit path for voc_* imdbs")
     parser.add_argument("--dtype", dest="dtype", default="bfloat16",
                         choices=["bfloat16", "float32"])
     parser.add_argument("--set", dest="set_cfgs", default=None,
@@ -56,7 +58,7 @@ def main():
     from mv3d_tf_tpu.data.kitti import get_imdb
     from mv3d_tf_tpu.models import mv3d
     from mv3d_tf_tpu.models.factory import get_network
-    from mv3d_tf_tpu.solver import test_net
+    from mv3d_tf_tpu.solver import test_net, test_net_2d
     from mv3d_tf_tpu.utils.checkpoint import load_pretrained
 
     if args.cfg_file is not None:
@@ -72,17 +74,30 @@ def main():
         print("Waiting for {} to exist...".format(args.model))
         time.sleep(10)
 
-    imdb = get_imdb(args.imdb_name, kitti_path=args.kitti_path)
+    imdb = get_imdb(args.imdb_name, kitti_path=args.kitti_path,
+                    devkit_path=args.devkit_path)
     get_network(args.network_name)
     print("Use network `{:s}` in testing".format(args.network_name))
 
-    params = mv3d.init_params(jax.random.PRNGKey(0))
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
     weights_filename = "default"
+    if args.network_name.startswith("VGGnet"):
+        from mv3d_tf_tpu.models import vggnet
+        params = vggnet.init_params_2d(jax.random.PRNGKey(0),
+                                       n_classes=imdb.num_classes)
+        if args.model:
+            params = load_pretrained(params, args.model)
+            weights_filename = os.path.splitext(
+                os.path.basename(args.model))[0]
+        test_net_2d(params, imdb, weights_filename=weights_filename,
+                    compute_dtype=dtype)
+        return
+
+    params = mv3d.init_params(jax.random.PRNGKey(0))
     if args.model:
         params = load_pretrained(params, args.model)
         weights_filename = os.path.splitext(os.path.basename(args.model))[0]
 
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
     test_net(params, imdb, weights_filename=weights_filename,
              compute_dtype=dtype)
 

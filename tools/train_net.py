@@ -34,6 +34,10 @@ def parse_args():
                         default="MV3D_train", type=str)
     parser.add_argument("--kitti_path", dest="kitti_path", default=None,
                         type=str)
+    parser.add_argument("--devkit_path", dest="devkit_path", default=None,
+                        type=str, help="VOCdevkit path for voc_* imdbs")
+    parser.add_argument("--resume", dest="resume", action="store_true",
+                        help="resume from the latest snapshot (incl. Adam state)")
     parser.add_argument("--dtype", dest="dtype", default="bfloat16",
                         choices=["bfloat16", "float32"])
     parser.add_argument("--set", dest="set_cfgs", default=None,
@@ -61,7 +65,7 @@ def main():
                                     get_output_dir)
     from mv3d_tf_tpu.data.kitti import get_imdb, prepare_roidb
     from mv3d_tf_tpu.models.factory import get_network
-    from mv3d_tf_tpu.solver import train_net
+    from mv3d_tf_tpu.solver import train_net, train_net_2d
 
     if args.cfg_file is not None:
         cfg_from_file(args.cfg_file)
@@ -74,9 +78,15 @@ def main():
     if not args.randomize:
         np.random.seed(cfg.RNG_SEED)
 
-    imdb = get_imdb(args.imdb_name, kitti_path=args.kitti_path)
+    imdb = get_imdb(args.imdb_name, kitti_path=args.kitti_path,
+                    devkit_path=args.devkit_path)
     print("Loaded dataset `{:s}` for training".format(imdb.name))
-    roidb = prepare_roidb(imdb)
+    if args.network_name.startswith("VGGnet"):
+        roidb = imdb.roidb
+        for i, entry in enumerate(roidb):
+            entry.setdefault("image_path", imdb.image_path_at(i))
+    else:
+        roidb = prepare_roidb(imdb)
     print("{:d} roidb entries".format(len(roidb)))
 
     output_dir = get_output_dir(imdb, None)
@@ -86,10 +96,18 @@ def main():
     print("Use network `{:s}` in training".format(args.network_name))
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
-    train_net(imdb, roidb, output_dir,
-              pretrained_model=args.pretrained_model,
-              max_iters=args.max_iters, compute_dtype=dtype,
-              seed=None if not args.randomize else int(np.random.rand() * 1e6))
+    seed = None if not args.randomize else int(np.random.rand() * 1e6)
+    if args.network_name.startswith("VGGnet"):
+        # legacy 2D Faster R-CNN family (tools/demo.py path)
+        train_net_2d(imdb, roidb, output_dir,
+                     pretrained_model=args.pretrained_model,
+                     max_iters=args.max_iters, compute_dtype=dtype,
+                     seed=seed)
+    else:
+        train_net(imdb, roidb, output_dir,
+                  pretrained_model=args.pretrained_model,
+                  max_iters=args.max_iters, compute_dtype=dtype,
+                  seed=seed, resume=args.resume)
 
 
 if __name__ == "__main__":
