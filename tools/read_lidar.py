@@ -43,6 +43,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from mv3d_tf_tpu.ops import bev as bev_ops
+    from mv3d_tf_tpu.utils import native
 
     vel_dir = osp.join(args.root, "velodyne")
     out_dir = osp.join(args.root, "lidar_bv")
@@ -58,12 +59,12 @@ def main():
     n_done = 0
     for start in range(0, len(files), args.batch):
         chunk = files[start:start + args.batch]
+        # threaded native C++ IO (numpy fallback inside)
+        pts_c, val_c = native.load_velodyne_batch(
+            [osp.join(vel_dir, f) for f in chunk], bucket=args.bucket)
         pts = np.zeros((args.batch, args.bucket, 4), np.float32)
         val = np.zeros((args.batch, args.bucket), bool)
-        for bi, fname in enumerate(chunk):
-            scan = bev_ops.load_velodyne(osp.join(vel_dir, fname))
-            p, v = bev_ops.pad_points(scan, args.bucket)
-            pts[bi], val[bi] = p, v
+        pts[:len(chunk)], val[:len(chunk)] = pts_c, val_c
         if args.host:
             tops = np.stack([bev_ops.point_cloud_2_top_np(
                 pts[bi][val[bi]]) for bi in range(len(chunk))])
