@@ -54,9 +54,15 @@ def main():
                    -0.9999, -0.075, 0.9999, 0.0002, 0.0105, -0.272]
     calib = jax.device_put(calib)
 
+    # NOTE: block_until_ready does not reliably block on the axon tunnel
+    # platform — every measurement below forces a tiny host read as a
+    # completion barrier (includes ~1 tunnel RTT, i.e. slightly pessimistic).
+    def barrier(x):
+        return float(np.asarray(x).ravel()[0])
+
     t0 = time.perf_counter()
     out = detect_batch(bev, image, calib)
-    jax.block_until_ready(out)
+    barrier(out["scores"])
     log("compile+first batch: {:.1f}s".format(time.perf_counter() - t0))
 
     # steady state
@@ -64,7 +70,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         out = detect_batch(bev, image, calib)
-    jax.block_until_ready(out)
+        barrier(out["scores"])
     dt = (time.perf_counter() - t0) / iters
     fps = B / dt
     log("batched detect: {:.1f} ms/batch -> {:.1f} frames/s".format(
@@ -73,11 +79,11 @@ def main():
     # aux: single-frame p50 latency
     single = detect
     b1, i1, c1 = bev[0], image[0], calib[0]
-    single(params, b1, i1, c1)
+    barrier(single(params, b1, i1, c1)["scores"])
     lats = []
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(single(params, b1, i1, c1))
+        barrier(single(params, b1, i1, c1)["scores"])
         lats.append(time.perf_counter() - t0)
     log("single-frame p50 latency: {:.1f} ms".format(
         sorted(lats)[len(lats) // 2] * 1000))
@@ -86,11 +92,10 @@ def main():
     pts = rng.rand(B, 131072, 4).astype(np.float32) * 50
     val = np.ones((B, 131072), bool)
     ptsd, vald = jax.device_put(pts), jax.device_put(val)
-    jax.block_until_ready(bev_ops.point_cloud_2_top_batch(ptsd, vald))
+    barrier(bev_ops.point_cloud_2_top_batch(ptsd, vald))
     t0 = time.perf_counter()
     for _ in range(5):
-        o = bev_ops.point_cloud_2_top_batch(ptsd, vald)
-    jax.block_until_ready(o)
+        barrier(bev_ops.point_cloud_2_top_batch(ptsd, vald))
     log("bev generation: {:.0f} scans/s".format(B / ((time.perf_counter() - t0) / 5)))
 
     print(json.dumps({

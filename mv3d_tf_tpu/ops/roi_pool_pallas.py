@@ -75,25 +75,39 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
     CT = min(C, 128)
     assert C % CT == 0
 
-    def kernel(bidx_ref, hs_ref, he_ref, ws_ref, we_ref, feat_ref, out_ref):
-        r = pl.program_id(0)
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    # column-bin window: mb_w columns starting at an 8-ALIGNED offset
+    # (Mosaic allows dynamic sublane slices at multiples of 8), so the
+    # per-bin reduction covers WIN columns instead of all W
+    WIN = min(W, ((mb_w + 7 + 8) // 8) * 8)
+
+    def kernel(bidx_ref, hs_ref, he_ref, ws_ref, we_ref, feat_ref, out_ref,
+               acc_ref):
+        # grid is (C-tiles, R) with R innermost: consecutive rois of the
+        # same frame keep the SAME feature-block index, so the pipeline
+        # re-DMAs the block only at frame/ctile boundaries (~B*C/CT
+        # fetches) instead of every step (R*C/CT fetches = tens of GB)
+        r = pl.program_id(1)
+        iota_win = jax.lax.broadcasted_iota(jnp.int32, (WIN, 1), 0)
         for ph in range(pooled):
             h0 = hs_ref[ph, r]
             h1 = he_ref[ph, r]
             acc = jnp.full((W, CT), -jnp.inf, dtype)
             for k in range(mb_h):
                 # H-indexing a (1,H,W,CT) VMEM ref is offset-free (the
-                # tiled dims are W,C); arbitrary W offsets are NOT, so
-                # column bins below use masked reductions instead
+                # tiled dims are W,C); arbitrary W offsets are NOT —
+                # hence the aligned-window trick below for columns
                 row = feat_ref[0, jnp.clip(h0 + k, 0, H - 1)]
                 acc = jnp.where(k < h1 - h0, jnp.maximum(acc, row), acc)
+            acc_ref[:] = acc
             for pw in range(pooled):
                 w0 = ws_ref[pw, r]
                 w1 = we_ref[pw, r]
-                mask = (iota_w >= w0) & (iota_w < w1)
-                m = jnp.max(jnp.where(mask, acc,
-                                      jnp.full((W, CT), -jnp.inf, dtype)),
+                base = jnp.clip((w0 // 8) * 8, 0, W - WIN)
+                win = acc_ref[pl.ds(pl.multiple_of(base, 8), WIN), :]
+                off = iota_win + base
+                mask = (off >= w0) & (off < w1)
+                m = jnp.max(jnp.where(mask, win,
+                                      jnp.full((WIN, CT), -jnp.inf, dtype)),
                             axis=0)
                 empty = (h1 <= h0) | (w1 <= w0)
                 out_ref[0, ph, pw, :] = jnp.where(
@@ -101,15 +115,16 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(R, C // CT),
+        grid=(C // CT, R),
         in_specs=[
             pl.BlockSpec((1, H, W, CT),
-                         lambda r, c, bidx_ref, *_: (bidx_ref[0, r], 0, 0, c),
+                         lambda c, r, bidx_ref, *_: (bidx_ref[0, r], 0, 0, c),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, pooled, pooled, CT),
-                               lambda r, c, *_: (r, 0, 0, c),
+                               lambda c, r, *_: (r, 0, 0, c),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((W, CT), dtype)],
     )
 
     out = pl.pallas_call(
