@@ -56,6 +56,14 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
     R = rois.shape[0]
     dtype = feat.dtype
 
+    # Pad the width to a multiple of 8 so every dynamic column-window
+    # start below (including the right-edge clamp W_pad - WIN) honors the
+    # Mosaic sublane alignment promise. Bin bounds keep the ORIGINAL W,
+    # so the pad columns are never selected by the (off < w1 <= W) mask.
+    W_pad = -(-W // 8) * 8
+    if W_pad != W:
+        feat = jnp.pad(feat, ((0, 0), (0, 0), (0, W_pad - W), (0, 0)))
+
     span_h = (max_in_h if max_in_h is not None else H / spatial_scale)
     span_w = (max_in_w if max_in_w is not None else W / spatial_scale)
     mb_h = min(H, -(-(int(round(span_h * spatial_scale)) + 1) // pooled) + 2)
@@ -77,8 +85,9 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
 
     # column-bin window: mb_w columns starting at an 8-ALIGNED offset
     # (Mosaic allows dynamic sublane slices at multiples of 8), so the
-    # per-bin reduction covers WIN columns instead of all W
-    WIN = min(W, ((mb_w + 7 + 8) // 8) * 8)
+    # per-bin reduction covers WIN columns instead of all W. W_pad - WIN
+    # is a multiple of 8, keeping the right-edge clamp aligned too.
+    WIN = min(W_pad, ((mb_w + 7 + 8) // 8) * 8)
 
     def kernel(bidx_ref, hs_ref, he_ref, ws_ref, we_ref, feat_ref, out_ref,
                acc_ref):
@@ -91,7 +100,7 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
         for ph in range(pooled):
             h0 = hs_ref[ph, r]
             h1 = he_ref[ph, r]
-            acc = jnp.full((W, CT), -jnp.inf, dtype)
+            acc = jnp.full((W_pad, CT), -jnp.inf, dtype)
             for k in range(mb_h):
                 # H-indexing a (1,H,W,CT) VMEM ref is offset-free (the
                 # tiled dims are W,C); arbitrary W offsets are NOT —
@@ -102,7 +111,7 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
             for pw in range(pooled):
                 w0 = ws_ref[pw, r]
                 w1 = we_ref[pw, r]
-                base = jnp.clip((w0 // 8) * 8, 0, W - WIN)
+                base = jnp.clip((w0 // 8) * 8, 0, W_pad - WIN)
                 win = acc_ref[pl.ds(pl.multiple_of(base, 8), WIN), :]
                 off = iota_win + base
                 mask = (off >= w0) & (off < w1)
@@ -117,14 +126,14 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
         num_scalar_prefetch=5,
         grid=(C // CT, R),
         in_specs=[
-            pl.BlockSpec((1, H, W, CT),
+            pl.BlockSpec((1, H, W_pad, CT),
                          lambda c, r, bidx_ref, *_: (bidx_ref[0, r], 0, 0, c),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, pooled, pooled, CT),
                                lambda c, r, *_: (r, 0, 0, c),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((W, CT), dtype)],
+        scratch_shapes=[pltpu.VMEM((W_pad, CT), dtype)],
     )
 
     out = pl.pallas_call(
