@@ -27,6 +27,13 @@ from mv3d_tf_tpu.proposals import IMG_BOUNDS, IMG_PAD, proposal_layer_3d
 PIXEL_MEANS = np.array([95.8814, 98.7743, 93.8549], np.float32)  # config.py:211
 
 
+def _fused_stem(compute_dtype):
+    """Use the Pallas fused conv1 stem on real TPU bf16 inference (the
+    kernel has no VJP and no CPU fast path; see ops/vgg_stem_pallas.py)."""
+    return (jax.default_backend() != "cpu"
+            and compute_dtype == jnp.bfloat16)
+
+
 def build_detect_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
                     post_nms_top_n=300, rpn_nms_thresh=0.7,
                     compute_dtype=None):
@@ -44,7 +51,8 @@ def build_detect_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
     def detect(params, bev, image, calib):
         image = image.astype(jnp.float32) - PIXEL_MEANS
         c5, c5_2 = mv3d.extract_features(params, bev[None], image[None],
-                                         dtype=compute_dtype)
+                                         dtype=compute_dtype,
+                                         fused_stem=_fused_stem(compute_dtype))
         rpn_cls, rpn_box = mv3d.rpn_head(params, c5, dtype=compute_dtype)
         prob = mv3d.rpn_probs(rpn_cls)
         rois = proposal_layer_3d(prob, rpn_box.astype(jnp.float32), calib,
@@ -104,7 +112,8 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
         B = bev.shape[0]
         image = image.astype(jnp.float32) - PIXEL_MEANS
         c5, c5_2 = mv3d.extract_features(params, bev, image,
-                                         dtype=compute_dtype)
+                                         dtype=compute_dtype,
+                                         fused_stem=_fused_stem(compute_dtype))
         rpn_cls, rpn_box = mv3d.rpn_head(params, c5, dtype=compute_dtype)
         prob = mv3d.rpn_probs(rpn_cls)
 

@@ -73,9 +73,24 @@ def init_trunk(key, in_channels, suffix=""):
     return params
 
 
-def trunk_apply(params, x, suffix="", dtype=None):
-    """Run the 13-conv stride-8 trunk. Returns conv5_3 features (NHWC)."""
-    for name, _, pool in VGG_LAYERS:
+def trunk_apply(params, x, suffix="", dtype=None, fused_stem=False):
+    """Run the 13-conv stride-8 trunk. Returns conv5_3 features (NHWC).
+
+    fused_stem=True runs conv1_1+conv1_2+pool1 as one Pallas VMEM kernel
+    (inference-only fast path — no VJP; the stem is HBM-bound under XLA,
+    see ops/vgg_stem_pallas.py). Requires dtype=bfloat16 on TPU.
+    """
+    layers = VGG_LAYERS
+    if fused_stem:
+        from mv3d_tf_tpu.ops.vgg_stem_pallas import (stem_tile_rows,
+                                                     vgg_stem_pallas)
+        p1 = params["conv1_1" + suffix]
+        p2 = params["conv1_2" + suffix]
+        x = vgg_stem_pallas(x, p1["weights"], p1["biases"],
+                            p2["weights"], p2["biases"],
+                            tile_rows=stem_tile_rows(x.shape[1] // 2))
+        layers = VGG_LAYERS[2:]
+    for name, _, pool in layers:
         p = params[name + suffix]
         x = conv2d(x, p["weights"], p["biases"], dtype=dtype)
         if pool:
