@@ -55,48 +55,55 @@ def main():
     calib = jax.device_put(calib)
 
     # NOTE: block_until_ready does not reliably block on the axon tunnel
-    # platform — every measurement below forces a tiny host read as a
-    # completion barrier (includes ~1 tunnel RTT, i.e. slightly pessimistic).
+    # platform — measurements force a SCALAR host read as the completion
+    # barrier. The device executes enqueued programs serially, so
+    # pipelining N calls and fetching one scalar from the LAST output
+    # times steady-state device throughput without paying a tunnel RTT
+    # (and without pulling whole result tensors) per iteration.
     def barrier(x):
-        return float(np.asarray(x).ravel()[0])
+        return float(np.asarray(jax.device_get(x.ravel()[0])))
+
+    def timeit(fn, iters, reps=3):
+        out = fn()
+        barrier(out)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn()
+            barrier(out)
+            ts.append((time.perf_counter() - t0) / iters)
+        return min(ts)
 
     t0 = time.perf_counter()
     out = detect_batch(bev, image, calib)
     barrier(out["scores"])
     log("compile+first batch: {:.1f}s".format(time.perf_counter() - t0))
 
-    # steady state
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = detect_batch(bev, image, calib)
-        barrier(out["scores"])
-    dt = (time.perf_counter() - t0) / iters
+    dt = timeit(lambda: detect_batch(bev, image, calib)["scores"], 10)
     fps = B / dt
     log("batched detect: {:.1f} ms/batch -> {:.1f} frames/s".format(
         dt * 1000, fps))
 
-    # aux: single-frame p50 latency
+    # aux: single-frame p50 latency (per-call barrier — true latency,
+    # includes one tunnel RTT, slightly pessimistic)
     single = detect
     b1, i1, c1 = bev[0], image[0], calib[0]
     barrier(single(params, b1, i1, c1)["scores"])
     lats = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         barrier(single(params, b1, i1, c1)["scores"])
         lats.append(time.perf_counter() - t0)
     log("single-frame p50 latency: {:.1f} ms".format(
         sorted(lats)[len(lats) // 2] * 1000))
 
-    # aux: BEV generation throughput
+    # aux: BEV generation throughput (BASELINE.md config #2)
     pts = rng.rand(B, 131072, 4).astype(np.float32) * 50
     val = np.ones((B, 131072), bool)
     ptsd, vald = jax.device_put(pts), jax.device_put(val)
-    barrier(bev_ops.point_cloud_2_top_batch(ptsd, vald))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        barrier(bev_ops.point_cloud_2_top_batch(ptsd, vald))
-    log("bev generation: {:.0f} scans/s".format(B / ((time.perf_counter() - t0) / 5)))
+    dt_bev = timeit(lambda: bev_ops.point_cloud_2_top_batch(ptsd, vald), 10)
+    log("bev generation: {:.0f} scans/s".format(B / dt_bev))
 
     print(json.dumps({
         "metric": "mv3d_e2e_inference_throughput",

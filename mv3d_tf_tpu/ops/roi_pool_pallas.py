@@ -79,8 +79,11 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
         (R,), jnp.int32))[None, :]
 
     # channel-tile the grid so the double-buffered feature block stays
-    # well under the 16 MB VMEM budget in f32 too
-    CT = min(C, 128)
+    # under the 16 MB VMEM budget (bf16 fast path uses wider tiles to
+    # halve the grid-step count; f32 stays at 128)
+    CT = min(C, 256 if dtype == jnp.bfloat16 else 128)
+    if C % CT != 0:
+        CT = min(C, 128)
     assert C % CT == 0
 
     # column-bin window: mb_w columns starting at an 8-ALIGNED offset
@@ -100,13 +103,16 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
         for ph in range(pooled):
             h0 = hs_ref[ph, r]
             h1 = he_ref[ph, r]
-            acc = jnp.full((W_pad, CT), -jnp.inf, dtype)
-            for k in range(mb_h):
-                # H-indexing a (1,H,W,CT) VMEM ref is offset-free (the
-                # tiled dims are W,C); arbitrary W offsets are NOT —
-                # hence the aligned-window trick below for columns
-                row = feat_ref[0, jnp.clip(h0 + k, 0, H - 1)]
-                acc = jnp.where(k < h1 - h0, jnp.maximum(acc, row), acc)
+            # H-indexing a (1,H,W,CT) VMEM ref is offset-free (the tiled
+            # dims are W,C); arbitrary W offsets are NOT — hence the
+            # aligned-window trick below for columns. The row loop has
+            # DYNAMIC bounds: typical BEV car rois span 1-2 feature rows
+            # vs the static worst case of ~13, so masking a fixed unroll
+            # wastes ~6x the work.
+            acc = jax.lax.fori_loop(
+                h0, h1,
+                lambda h, a: jnp.maximum(a, feat_ref[0, h]),
+                jnp.full((W_pad, CT), -jnp.inf, dtype))
             acc_ref[:] = acc
             for pw in range(pooled):
                 w0 = ws_ref[pw, r]

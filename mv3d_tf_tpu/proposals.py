@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from mv3d_tf_tpu import geometry as G
 from mv3d_tf_tpu.anchors import get_anchor_grid
 from mv3d_tf_tpu.models.mv3d import rpn_fg_scores
-from mv3d_tf_tpu.ops.nms import nms_matrix, top_k_by_score
+from mv3d_tf_tpu.ops.nms import nms_blocked, top_k_by_score
 
 # the reference hardcodes the camera image bounds + padding rather than
 # using the real image size (proposal_layer_tf.py:146-147,343-352)
@@ -81,9 +81,10 @@ def proposal_layer_3d(rpn_cls_prob, rpn_bbox_pred, calib,
     pimg = proposals_img[top_idx]
     psc = scores[top_idx]
 
-    # greedy BEV NMS + post-NMS top-N (proposal_layer_tf.py:172-178)
-    keep_idx, keep_valid = nms_matrix(bv, psc, top_valid, post_nms_top_n,
-                                      nms_thresh)
+    # greedy BEV NMS + post-NMS top-N (proposal_layer_tf.py:172-178);
+    # blocked exact-greedy scan — no N^2 mask in HBM (ops/nms.py)
+    keep_idx, keep_valid = nms_blocked(bv, psc, top_valid, post_nms_top_n,
+                                       nms_thresh)
 
     zeros = jnp.zeros((post_nms_top_n, 1), jnp.float32)
     out_bv = jnp.concatenate([zeros, bv[keep_idx]], axis=1)
