@@ -92,3 +92,32 @@ def test_pad_points_trim():
     pts = np.ones((10, 4), np.float32)
     p, v = bev.pad_points(pts, bucket=4)
     assert p.shape == (4, 4) and v.sum() == 4
+
+
+def test_fast_path_bit_parity(rng):
+    """Sort + Pallas placement (interpret) is bit-identical to both the
+    numpy twin and the XLA scatter formulation, including duplicate-cell
+    last-write-wins resolution."""
+    import jax.numpy as jnp
+    from mv3d_tf_tpu.ops.bev import (_point_cloud_2_top_batch_scatter,
+                                     point_cloud_2_top_fast,
+                                     point_cloud_2_top_np)
+
+    N = 4096
+    pts = np.zeros((2, N, 4), np.float32)
+    pts[..., 0] = rng.rand(2, N) * 70 - 5
+    pts[..., 1] = rng.rand(2, N) * 70 - 35
+    pts[..., 2] = rng.rand(2, N) * 4 - 2.5
+    pts[..., 3] = rng.rand(2, N)
+    # force heavy duplicate-cell traffic
+    pts[:, ::2, 0] = 10.0 + rng.rand(2, (N + 1) // 2) * 0.5
+    pts[:, ::2, 1] = 5.0 + rng.rand(2, (N + 1) // 2) * 0.5
+    val = rng.rand(2, N) > 0.05
+
+    ref = np.stack([point_cloud_2_top_np(pts[b][val[b]]) for b in range(2)])
+    fast = np.asarray(point_cloud_2_top_fast(
+        jnp.asarray(pts), jnp.asarray(val), interpret=True))
+    scat = np.asarray(_point_cloud_2_top_batch_scatter(
+        jnp.asarray(pts), jnp.asarray(val)))
+    assert np.array_equal(fast, ref)
+    assert np.array_equal(scat, ref)
