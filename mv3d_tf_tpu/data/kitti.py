@@ -100,8 +100,15 @@ class KittiMV3D(Imdb):
         if osp.exists(cache_file):
             with open(cache_file, "rb") as fid:
                 roidb = pickle.load(fid)
-            print("{} gt roidb loaded from {}".format(self.name, cache_file))
-            return roidb
+            if len(roidb) == len(self._image_index):
+                print("{} gt roidb loaded from {}".format(
+                    self.name, cache_file))
+                return roidb
+            # the cache is keyed by dataset name only; a stale cache from
+            # a different split/fixture must never shadow the real labels
+            print("stale gt roidb cache ({} entries vs {} images), "
+                  "rebuilding {}".format(len(roidb), len(self._image_index),
+                                         cache_file))
         roidb = [self._load_kitti_annotation(idx)
                  for idx in self._image_index]
         with open(cache_file, "wb") as fid:
@@ -247,19 +254,20 @@ def get_imdb(name, kitti_path=None, devkit_path=None):
     kitti_{train,val,trainval,test}, kitti_raw_<seq>, voc_<year>_<split>."""
     if name in _IMDB_FACTORY:
         return _IMDB_FACTORY[name]
+    # more-specific kitti_* patterns MUST precede the generic kitti_ branch
     if name.startswith("kitti_raw_"):
         from mv3d_tf_tpu.data.kitti_raw import KittiRaw
         imdb = KittiRaw(name[len("kitti_raw_"):], root=kitti_path)
+    elif name.startswith("kitti_tracking_"):
+        from mv3d_tf_tpu.data.extra_datasets import KittiTracking
+        _, _, split, seq = name.split("_", 3)
+        imdb = KittiTracking(split, seq, root=kitti_path)
     elif name.startswith("kitti_"):
         imdb = KittiMV3D(name[len("kitti_"):], kitti_path=kitti_path)
     elif name.startswith("voc_"):
         from mv3d_tf_tpu.data.pascal_voc import PascalVOC
         _, year, split = name.split("_", 2)
         imdb = PascalVOC(split, year, devkit_path)
-    elif name.startswith("kitti_tracking_"):
-        from mv3d_tf_tpu.data.extra_datasets import KittiTracking
-        _, _, split, seq = name.split("_", 3)
-        imdb = KittiTracking(split, seq, root=kitti_path)
     elif name.startswith("coco_"):
         from mv3d_tf_tpu.data.extra_datasets import Coco
         _, year, split = name.split("_", 2)

@@ -4,7 +4,7 @@ Replaces lib/roi_data_layer/layer.py (RoIDataLayer) + minibatch_mv3d.py:
 same per-frame blobs (image_data, lidar_bv_data, calib, im_info, gt_*),
 but padded to the static shapes the jit programs expect (MAX_GT gt slots,
 an image padding bucket) plus validity masks, and with a background
-prefetch thread that overlaps disk IO + host->device transfer with
+prefetch thread that overlaps disk IO and host-side decode with
 device compute (the reference's USE_PREFETCH flag is dead code,
 config.py:101-103).
 
@@ -79,6 +79,13 @@ def get_minibatch(entry, image_bucket=None, max_gt=None):
     return batch
 
 
+class _PrefetchError:
+    """Wrapper carrying a prefetch-worker exception to forward()."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
 class RoIDataLayer:
     """Epoch-permuted cursor over the roidb (roi_data_layer/layer.py:26-70)
     with optional background prefetch."""
@@ -111,9 +118,19 @@ class RoIDataLayer:
 
     def _worker(self):
         while True:
-            self._queue.put(self._load_next())
+            try:
+                item = self._load_next()
+            except BaseException as e:  # propagate IO errors to forward()
+                self._queue.put(_PrefetchError(e))
+                return
+            self._queue.put(item)
 
     def forward(self):
         if self._queue is not None:
-            return self._queue.get()
+            item = self._queue.get()
+            if isinstance(item, _PrefetchError):
+                raise RuntimeError(
+                    "prefetch worker died: {!r}".format(item.exc)) \
+                    from item.exc
+            return item
         return self._load_next()

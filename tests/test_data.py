@@ -113,3 +113,41 @@ def test_evaluate_detections_writes_files(imdb, tmp_path):
         assert content.startswith("car")
     finally:
         cfg.ROOT_DIR = old_root
+
+
+def test_get_imdb_dispatch_order(tmp_path):
+    """Every registered name pattern resolves to the right class — in
+    particular kitti_tracking_* must NOT fall into the generic kitti_
+    branch (round-1 bug: unreachable branch ordering)."""
+    from mv3d_tf_tpu.data import kitti as K
+    from mv3d_tf_tpu.data.extra_datasets import KittiTracking
+
+    # build a minimal tracking layout
+    root = tmp_path / "tracking"
+    seq_dir = root / "training" / "image_02" / "0001"
+    seq_dir.mkdir(parents=True)
+    (seq_dir / "000000.png").write_bytes(b"")
+    K._IMDB_FACTORY.clear()
+    try:
+        imdb = K.get_imdb("kitti_tracking_train_0001", kitti_path=str(root))
+        assert isinstance(imdb, KittiTracking)
+    finally:
+        K._IMDB_FACTORY.clear()
+
+
+def test_prefetch_worker_error_propagates():
+    """A poisoned roidb entry raises in forward() instead of hanging."""
+    import pytest
+    from mv3d_tf_tpu.data.loader import RoIDataLayer
+
+    bad = [{"image_path": "/nonexistent/definitely_missing.png",
+            "lidar_bv_path": "/nonexistent/missing.npy",
+            "calib": np.zeros((4, 12), np.float32),
+            "gt_classes": np.array([1]),
+            "boxes": np.zeros((1, 4), np.float32),
+            "boxes_bv": np.zeros((1, 4), np.float32),
+            "boxes_3D": np.zeros((1, 6), np.float32),
+            "boxes_corners": np.zeros((1, 24), np.float32)}]
+    layer = RoIDataLayer(bad, prefetch=1)
+    with pytest.raises(RuntimeError, match="prefetch worker died"):
+        layer.forward()
