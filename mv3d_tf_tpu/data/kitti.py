@@ -100,7 +100,8 @@ class KittiMV3D(Imdb):
         if osp.exists(cache_file):
             with open(cache_file, "rb") as fid:
                 roidb = pickle.load(fid)
-            if len(roidb) == len(self._image_index):
+            if (len(roidb) == len(self._image_index)
+                    and all("truncation" in e for e in roidb)):
                 print("{} gt roidb loaded from {}".format(
                     self.name, cache_file))
                 return roidb
@@ -135,6 +136,8 @@ class KittiMV3D(Imdb):
 
         n = len(rows)
         entry = {
+            "truncation": np.zeros(n, np.float32),
+            "occlusion": np.zeros(n, np.float32),
             "ry": np.zeros(n, np.float32),
             "lwh": np.zeros((n, 3), np.float32),
             "boxes": np.zeros((n, 4), np.float32),
@@ -150,6 +153,10 @@ class KittiMV3D(Imdb):
             "flipped": False,
         }
         for ix, (cls, v) in enumerate(rows):
+            # v = [truncated, occluded, alpha, bbox x1 y1 x2 y2, h w l,
+            #      x y z, ry] (KITTI label_2 columns 1..14)
+            entry["truncation"][ix] = v[0]
+            entry["occlusion"][ix] = v[1]
             alpha, x1, y1, x2, y2 = v[2], v[3], v[4], v[5], v[6]
             h, w, l = v[7], v[8], v[9]
             tx, ty, tz, ry = v[10], v[11], v[12], v[13]
@@ -224,11 +231,14 @@ class KittiMV3D(Imdb):
         kitti_mv3d.py:397-401 — kitti_eval.py is our working evaluator)."""
         path = self._write_kitti_results_file(all_boxes, all_boxes3D)
         if self._image_set != "test":
-            from mv3d_tf_tpu.data.kitti_eval import evaluate_kitti_bev
+            from mv3d_tf_tpu.data.kitti_eval import (evaluate_kitti_bev,
+                                                     evaluate_kitti_official)
             for thresh in (0.7, 0.5):
                 res = evaluate_kitti_bev(self, all_boxes, iou_thresh=thresh)
                 print("BEV AP@{:.1f} (car, R40): {:.4f}  [{} gt]".format(
                     thresh, res["ap"], res["num_gt"]))
+            if all_boxes3D is not None:
+                evaluate_kitti_official(self, all_boxes, all_boxes3D)
         return path
 
 

@@ -12,11 +12,11 @@ from mv3d_tf_tpu.ops.iou import bbox_overlaps
 
 def ap_r40(rec, prec):
     """KITTI 40-point interpolated AP."""
-    ap = 0.0
+    total = 0.0
     for t in np.linspace(1.0 / 40, 1.0, 40):
         p = prec[rec >= t]
-        ap += (np.max(p) if p.size else 0.0) / 40.0
-    return float(ap)
+        total += np.max(p) if p.size else 0.0
+    return float(total) / 40.0
 
 
 def evaluate_bev_ap(all_dets, gt_boxes_per_image, iou_thresh=0.7):
@@ -71,3 +71,191 @@ def evaluate_kitti_bev(imdb, all_boxes, iou_thresh=0.7, cls_ind=1):
     dets = [np.asarray(all_boxes[cls_ind][i]).reshape(-1, 5)
             for i in range(imdb.num_images)]
     return evaluate_bev_ap(dets, gts, iou_thresh)
+
+
+# ---------------------------------------------------------------------------
+# Official-protocol evaluation (the ABSENT kitti/eval/cpp/evaluate_object,
+# kitti_mv3d.py:392-401): easy/moderate/hard difficulty buckets from the
+# label's 2D height / occlusion / truncation (same thresholds as the
+# reference's _get_obj_level, kitti_mv3d.py:308-319), with 2D image-box AP,
+# BEV AP and 3D AP. Deviations from the C++ binary, documented:
+#   * matching is greedy by detection score (pycocotools-style) instead of
+#     the binary's recall-threshold sweep; AP itself is still R40;
+#   * BEV/3D overlaps use axis-aligned boxes — consistent with the whole
+#     MV3D pipeline (corners_to_bv min/max footprints, transform.py:342);
+#   * Van/DontCare ignore regions are not modeled (the imdb only loads the
+#     Car class, kitti_mv3d.py:29).
+# ---------------------------------------------------------------------------
+
+# (min 2D box height px, max occlusion, max truncation) — reference
+# _get_obj_level / official evaluate_object
+DIFFICULTY = {
+    "easy": (40.0, 0, 0.15),
+    "moderate": (25.0, 1, 0.30),
+    "hard": (25.0, 2, 0.50),
+}
+
+
+def gt_levels(boxes2d, truncation, occlusion):
+    """Difficulty level 1/2/3 per gt (4 = excluded), kitti_mv3d.py:308-319.
+    Uses the same +1 height convention as the reference helper."""
+    height = boxes2d[:, 3] - boxes2d[:, 1] + 1
+    lvl = np.full(len(boxes2d), 4, np.int32)
+    lvl[(height >= 25) & (truncation <= 0.5) & (occlusion <= 2)] = 3
+    lvl[(height >= 25) & (truncation <= 0.3) & (occlusion <= 1)] = 2
+    lvl[(height >= 40) & (truncation <= 0.15) & (occlusion <= 0)] = 1
+    return lvl
+
+
+def iou_2d(a, b):
+    """Pairwise IoU of (N,4) vs (M,4) axis-aligned boxes, +1 convention."""
+    return np.asarray(bbox_overlaps(
+        np.asarray(a, np.float32), np.asarray(b, np.float32)))
+
+
+def corners_to_aabb3d(cnr):
+    """(N,24) corner sets (x0..7, y0..7, z0..7) -> (N,6) aabb."""
+    cnr = np.asarray(cnr, np.float32).reshape(-1, 3, 8)
+    lo = cnr.min(axis=2)
+    hi = cnr.max(axis=2)
+    return np.concatenate([lo, hi], axis=1)   # x1,y1,z1,x2,y2,z2
+
+
+def iou_3d_aabb(a, b):
+    """Pairwise 3D IoU of axis-aligned boxes (N,6) vs (M,6)."""
+    a = np.asarray(a, np.float32).reshape(-1, 6)
+    b = np.asarray(b, np.float32).reshape(-1, 6)
+    inter = np.ones((len(a), len(b)), np.float32)
+    for d in range(3):
+        lo = np.maximum(a[:, None, d], b[None, :, d])
+        hi = np.minimum(a[:, None, d + 3], b[None, :, d + 3])
+        inter *= np.maximum(hi - lo, 0.0)
+    va = np.prod(np.maximum(a[:, 3:] - a[:, :3], 0.0), axis=1)
+    vb = np.prod(np.maximum(b[:, 3:] - b[:, :3], 0.0), axis=1)
+    union = va[:, None] + vb[None, :] - inter
+    return inter / np.maximum(union, 1e-9)
+
+
+def evaluate_ap_difficulty(frames, iou_thresh, difficulty):
+    """Generic per-difficulty AP.
+
+    frames: list of dicts with keys
+      dets   (N, D) detection geometries,
+      scores (N,),
+      det_heights (N,) 2D pixel heights (for the min-height ignore rule),
+      gts    (M, D) gt geometries,
+      levels (M,) difficulty levels (1..4),
+      iou    callable (dets, gts) -> (N, M).
+    Official semantics: gts harder than the requested difficulty are
+    IGNORED (not counted in npos; detections matching them are neither TP
+    nor FP); detections shorter than the difficulty's min height that
+    match nothing are ignored rather than counted as FP.
+    """
+    min_h, _, _ = DIFFICULTY[difficulty]
+    lvl_max = {"easy": 1, "moderate": 2, "hard": 3}[difficulty]
+    records = []
+    npos = 0
+    for fr in frames:
+        levels = np.asarray(fr["levels"])
+        valid = (levels >= 1) & (levels <= lvl_max)
+        npos += int(valid.sum())
+        dets = np.asarray(fr["dets"])
+        if len(dets) == 0:
+            continue
+        scores = np.asarray(fr["scores"])
+        hts = np.asarray(fr["det_heights"])
+        order = np.argsort(-scores)
+        gts = np.asarray(fr["gts"])
+        ious = fr["iou"](dets, gts) if len(gts) else None
+        taken = np.zeros(len(gts), bool)
+        for d in order:
+            matched_valid = matched_ignored = False
+            if ious is not None:
+                cand = np.where(valid & ~taken, ious[d], -1.0)
+                j = int(np.argmax(cand)) if len(gts) else -1
+                if len(gts) and cand[j] >= iou_thresh:
+                    taken[j] = True
+                    matched_valid = True
+                elif len(gts) and np.max(
+                        np.where(~valid, ious[d], -1.0)) >= iou_thresh:
+                    matched_ignored = True
+            if matched_valid:
+                records.append((scores[d], True))
+            elif matched_ignored or hts[d] < min_h:
+                continue            # ignored detection: neither TP nor FP
+            else:
+                records.append((scores[d], False))
+    if not records or npos == 0:
+        return {"ap": 0.0, "num_gt": npos}
+    records.sort(key=lambda r: -r[0])
+    tps = np.cumsum([r[1] for r in records]).astype(np.float64)
+    fps = np.cumsum([not r[1] for r in records]).astype(np.float64)
+    rec = tps / float(npos)
+    prec = tps / np.maximum(tps + fps, 1e-9)
+    return {"ap": ap_r40(rec, prec), "num_gt": npos,
+            "recall": rec, "precision": prec}
+
+
+def evaluate_kitti_official(imdb, all_boxes, all_boxes_cnr, cls_ind=1,
+                            iou_2d_thresh=0.7, iou_bev_thresh=0.7,
+                            iou_3d_thresh=0.7, log=print):
+    """The 3 metric x 3 difficulty AP table for one class.
+
+    all_boxes[cls][i]: (N,5) BEV dets [x1,y1,x2,y2,score];
+    all_boxes_cnr[cls][i]: (N,25) lidar corner dets + score.
+    2D image boxes are projected from the detection corners with the
+    frame calib (the same projection the reference's results writer uses,
+    test_mv.py:241-261 path).
+    """
+    from mv3d_tf_tpu import geometry as Geo
+
+    frames_2d, frames_bev, frames_3d = [], [], []
+    for i in range(imdb.num_images):
+        entry = imdb.roidb[i]
+        m = entry["gt_classes"] == cls_ind
+        g2 = entry["boxes"][m]
+        levels = gt_levels(g2, entry["truncation"][m], entry["occlusion"][m])
+        calib = imdb.calib_at(i)
+
+        bev = np.asarray(all_boxes[cls_ind][i], np.float32).reshape(-1, 5)
+        cnr = np.asarray(all_boxes_cnr[cls_ind][i],
+                         np.float32).reshape(-1, 25)
+        scores = bev[:, 4]
+        if len(cnr):
+            img_boxes = np.asarray(Geo.lidar_cnr_to_img(
+                cnr[:, :24], calib[3], calib[2], calib[0]), np.float32)
+        else:
+            img_boxes = np.zeros((0, 4), np.float32)
+        det_h = (img_boxes[:, 3] - img_boxes[:, 1] + 1 if len(img_boxes)
+                 else np.zeros(0))
+
+        frames_2d.append({"dets": img_boxes, "scores": scores,
+                          "det_heights": det_h, "gts": g2,
+                          "levels": levels, "iou": iou_2d})
+        frames_bev.append({"dets": bev[:, :4], "scores": scores,
+                           "det_heights": det_h,
+                           "gts": entry["boxes_bv"][m],
+                           "levels": levels, "iou": iou_2d})
+        frames_3d.append({"dets": corners_to_aabb3d(cnr[:, :24]),
+                          "scores": scores, "det_heights": det_h,
+                          "gts": corners_to_aabb3d(
+                              entry["boxes_corners"][m]),
+                          "levels": levels, "iou": iou_3d_aabb})
+
+    table = {}
+    for metric, frames, thr in (("2d", frames_2d, iou_2d_thresh),
+                                ("bev", frames_bev, iou_bev_thresh),
+                                ("3d", frames_3d, iou_3d_thresh)):
+        table[metric] = {}
+        for diff in ("easy", "moderate", "hard"):
+            res = evaluate_ap_difficulty(frames, thr, diff)
+            table[metric][diff] = res["ap"]
+    log("KITTI official-protocol AP (car, R40, IoU {:.2f}/{:.2f}/{:.2f}):"
+        .format(iou_2d_thresh, iou_bev_thresh, iou_3d_thresh))
+    log("  {:>9s} {:>8s} {:>8s} {:>8s}".format(
+        "metric", "easy", "moderate", "hard"))
+    for metric in ("2d", "bev", "3d"):
+        log("  {:>9s} {:8.4f} {:8.4f} {:8.4f}".format(
+            metric, table[metric]["easy"], table[metric]["moderate"],
+            table[metric]["hard"]))
+    return table
