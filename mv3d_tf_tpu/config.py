@@ -44,6 +44,16 @@ __C.TRAIN.GAMMA = 0.1
 __C.TRAIN.STEPSIZE = 50000
 __C.TRAIN.DISPLAY = 10
 __C.IS_MULTISCALE = False
+# SubCNN-lineage multiscale keys: the reference's kitti_rcnn.yml sets
+# these, but its own config.py dropped them during the MV3D fork (they
+# are commented out at reference config.py:47-52), so that YAML no
+# longer loads there. Restored here so the shipped kitti_rcnn.yml works.
+__C.IS_RPN = True
+__C.IS_EXTRAPOLATING = True
+__C.REGION_PROPOSAL = 'RPN'
+__C.TRAIN.SCALES_BASE = (1.0,)
+__C.TRAIN.NUM_PER_OCTAVE = 4
+__C.TRAIN.ROI_THRESHOLD = 0.01
 __C.TRAIN.SCALES = (600,)
 __C.TRAIN.MAX_SIZE = 2000
 __C.TRAIN.IMS_PER_BATCH = 2
@@ -85,6 +95,8 @@ __C.TRAIN.DEBUG_TIMELINE = False
 # ---------------------------------------------------------------------------
 __C.TEST = AttrDict()
 __C.TEST.SCALES = (600,)
+__C.TEST.SCALES_BASE = (1.0,)
+__C.TEST.NUM_PER_OCTAVE = 4
 __C.TEST.MAX_SIZE = 2000
 __C.TEST.NMS = 0.5
 __C.TEST.SVM = False

@@ -95,8 +95,20 @@ class KittiMV3D(Imdb):
         return calib
 
     # -- annotations ---------------------------------------------------------
+    def _cache_key(self):
+        """Cache identity: dataset name + a digest of the data root and
+        the image index. The reference keys by name only
+        (kitti_mv3d.py:130), which lets a cache written for one dataset
+        silently shadow another one's labels (e.g. a test fixture vs the
+        user's real KITTI)."""
+        import hashlib
+        h = hashlib.sha1()
+        h.update(osp.abspath(self._kitti_path).encode())
+        h.update("\n".join(self._image_index).encode())
+        return "{}_{}_gt_roidb.pkl".format(self.name, h.hexdigest()[:10])
+
     def gt_roidb(self):
-        cache_file = osp.join(self.cache_path, self.name + "_gt_roidb.pkl")
+        cache_file = osp.join(self.cache_path, self._cache_key())
         if osp.exists(cache_file):
             with open(cache_file, "rb") as fid:
                 roidb = pickle.load(fid)
@@ -105,8 +117,6 @@ class KittiMV3D(Imdb):
                 print("{} gt roidb loaded from {}".format(
                     self.name, cache_file))
                 return roidb
-            # the cache is keyed by dataset name only; a stale cache from
-            # a different split/fixture must never shadow the real labels
             print("stale gt roidb cache ({} entries vs {} images), "
                   "rebuilding {}".format(len(roidb), len(self._image_index),
                                          cache_file))
@@ -272,6 +282,9 @@ def get_imdb(name, kitti_path=None, devkit_path=None):
         from mv3d_tf_tpu.data.extra_datasets import KittiTracking
         _, _, split, seq = name.split("_", 3)
         imdb = KittiTracking(split, seq, root=kitti_path)
+    elif name.startswith("kitti2d_"):
+        from mv3d_tf_tpu.data.kitti_2d import Kitti2D
+        imdb = Kitti2D(name[len("kitti2d_"):], kitti_path=kitti_path)
     elif name.startswith("kitti_"):
         imdb = KittiMV3D(name[len("kitti_"):], kitti_path=kitti_path)
     elif name.startswith("voc_"):

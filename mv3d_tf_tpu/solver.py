@@ -73,11 +73,14 @@ def train_net(imdb, roidb, output_dir, pretrained_model=None,
 
     timer = Timer()
     last_snapshot_iter = -1
+    tracing = False
     for it in range(start_iter, max_iters):
         if trace_dir is not None and it == start_iter + 2:
             jax.profiler.start_trace(trace_dir)
-        if trace_dir is not None and it == start_iter + 5:
+            tracing = True
+        if tracing and it == start_iter + 5:
             jax.profiler.stop_trace()
+            tracing = False
             log("profiler trace written to " + trace_dir)
         blobs = data_layer.forward()
         batch = {k: blobs[k] for k in ("bev", "image", "calib", "gt_boxes_bv",
@@ -101,6 +104,9 @@ def train_net(imdb, roidb, output_dir, pretrained_model=None,
             last_snapshot_iter = it
             save_checkpoint(output_dir, it + 1, params, opt_state)
 
+    if tracing:  # short runs can end before the stop iteration
+        jax.profiler.stop_trace()
+        log("profiler trace written to " + trace_dir)
     if last_snapshot_iter != max_iters - 1:
         save_checkpoint(output_dir, max_iters, params, opt_state)
     return params

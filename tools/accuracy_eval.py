@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Accuracy evidence run: train MV3D on a synthetic KITTI-layout dataset
+and record the loss + AP trajectory (BASELINE.md accuracy gate evidence;
+the environment has no real KITTI data, so the synthetic generator is the
+ground truth source — geometry, calib and BEV rasters are consistent with
+real KITTI semantics).
+
+Pipeline per the reference recipe (train_mv.py:373-382, mv3d.sh:31-49):
+VGG-style pretrain .npy -> make_mv3d_pretrain_dict import -> train via
+solver.train_net in segments (exercising snapshot + optimizer-state
+resume) -> solver.test_net on the val split at each checkpoint ->
+BEV AP@0.5/0.7 + the official-protocol 3x3 table.
+
+Usage:
+  python tools/accuracy_eval.py --frames 200 --iters 2000 --eval-every 500
+Writes <out>/accuracy_trajectory.json and prints the table.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import _init_paths  # noqa: F401
+
+
+def quiet(*a, **k):
+    pass
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=200)
+    ap.add_argument("--cars", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--eval-every", type=int, default=500)
+    ap.add_argument("--data", default="/tmp/kitti_synth_acc")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--eval-thresh", type=float, default=0.05)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mv3d_tf_tpu import solver
+    from mv3d_tf_tpu.config import cfg
+    from mv3d_tf_tpu.data import synthetic
+    from mv3d_tf_tpu.data.kitti import KittiMV3D, prepare_roidb
+    from mv3d_tf_tpu.data.kitti_eval import (evaluate_kitti_bev,
+                                             evaluate_kitti_official)
+    from mv3d_tf_tpu.models import vgg
+    from mv3d_tf_tpu.utils.weights import make_mv3d_pretrain_dict
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else None
+    print("device:", jax.devices()[0], " dtype:", args.dtype, flush=True)
+
+    # --- dataset -----------------------------------------------------------
+    if not os.path.exists(os.path.join(args.data, "ImageSets", "train.txt")):
+        print("generating {} synthetic frames under {}".format(
+            args.frames, args.data), flush=True)
+        synthetic.generate(args.data, num_frames=args.frames,
+                           cars_per_frame=args.cars, seed=args.seed)
+    train_imdb = KittiMV3D("train", kitti_path=args.data)
+    val_imdb = KittiMV3D("val", kitti_path=args.data)
+    roidb = prepare_roidb(train_imdb)
+    prepare_roidb(val_imdb)
+    print("train frames:", train_imdb.num_images,
+          " val frames:", val_imdb.num_images, flush=True)
+
+    out_dir = args.out or os.path.join(cfg.ROOT_DIR, "output",
+                                       "accuracy_run", "kitti_train")
+    os.makedirs(out_dir, exist_ok=True)
+
+    # --- pretrain import (make_pretrain_data.ipynb path) ---------------------
+    rng = np.random.RandomState(args.seed)
+    vgg_dict = {}
+    c_in = 3
+    for name, c_out, _ in vgg.VGG_LAYERS:
+        vgg_dict[name] = {
+            "weights": (rng.randn(3, 3, c_in, c_out) * 0.05).astype(
+                np.float32),
+            "biases": np.zeros(c_out, np.float32)}
+        c_in = c_out
+    vgg_dict["fc6"] = {"weights": (rng.randn(25088, 4096) * 0.005).astype(
+        np.float32), "biases": np.zeros(4096, np.float32)}
+    vgg_dict["fc7"] = {"weights": (rng.randn(4096, 4096) * 0.005).astype(
+        np.float32), "biases": np.zeros(4096, np.float32)}
+    pretrain = make_mv3d_pretrain_dict(vgg_dict, seed=args.seed)
+    pretrain_path = os.path.join(out_dir, "vgg_synth_sampled.npy")
+    np.save(pretrain_path, np.array(pretrain, dtype=object),
+            allow_pickle=True)
+
+    # --- train/eval trajectory ----------------------------------------------
+    def run_eval(params, tag):
+        t0 = time.time()
+        all_boxes, all_cnr = solver.test_net(
+            params, val_imdb, weights_filename="accuracy_" + tag,
+            thresh=args.eval_thresh, compute_dtype=dtype, log=quiet)
+        rec = {"tag": tag}
+        for thr in (0.5, 0.7):
+            rec["bev_ap@{}".format(thr)] = evaluate_kitti_bev(
+                val_imdb, all_boxes, iou_thresh=thr)["ap"]
+        table = evaluate_kitti_official(val_imdb, all_boxes, all_cnr,
+                                        log=quiet)
+        rec["official"] = table
+        rec["eval_seconds"] = round(time.time() - t0, 1)
+        print("[eval {}] BEV AP@0.5={:.4f} AP@0.7={:.4f} "
+              "official bev(hard)={:.4f} 3d(hard)={:.4f} ({}s)".format(
+                  tag, rec["bev_ap@0.5"], rec["bev_ap@0.7"],
+                  table["bev"]["hard"], table["3d"]["hard"],
+                  rec["eval_seconds"]), flush=True)
+        return rec
+
+    traj = {"config": vars(args), "evals": [], "losses": []}
+
+    # baseline: pretrain-initialized, untrained
+    import jax.random as jrandom
+    from mv3d_tf_tpu.models import mv3d as mv3d_model
+    from mv3d_tf_tpu.utils.weights import load_npy_weights
+    params0 = load_npy_weights(mv3d_model.init_params(
+        jrandom.PRNGKey(cfg.RNG_SEED)), pretrain, log=None)
+    traj["evals"].append(run_eval(params0, "iter0"))
+
+    losses = []
+
+    def log_capture(msg):
+        print(msg, flush=True)
+        if msg.startswith("iter:"):
+            losses.append(msg)
+
+    done = 0
+    while done < args.iters:
+        upto = min(done + args.eval_every, args.iters)
+        params = solver.train_net(
+            train_imdb, roidb, out_dir,
+            pretrained_model=pretrain_path if done == 0 else None,
+            max_iters=upto, compute_dtype=dtype, resume=done > 0,
+            display=50, snapshot_iters=args.eval_every, log=log_capture)
+        done = upto
+        traj["evals"].append(run_eval(params, "iter{}".format(done)))
+        traj["losses"] = losses
+        with open(os.path.join(out_dir, "accuracy_trajectory.json"),
+                  "w") as f:
+            json.dump(traj, f, indent=1)
+
+    print("\n=== trajectory ===")
+    for rec in traj["evals"]:
+        print("{:>8s}: BEV AP@0.5 {:.4f}  AP@0.7 {:.4f}  "
+              "official hard 2d/bev/3d {:.4f}/{:.4f}/{:.4f}".format(
+                  rec["tag"], rec["bev_ap@0.5"], rec["bev_ap@0.7"],
+                  rec["official"]["2d"]["hard"],
+                  rec["official"]["bev"]["hard"],
+                  rec["official"]["3d"]["hard"]))
+    print("results written to",
+          os.path.join(out_dir, "accuracy_trajectory.json"))
+
+
+if __name__ == "__main__":
+    main()
