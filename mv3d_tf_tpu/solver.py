@@ -113,11 +113,18 @@ def train_net(imdb, roidb, output_dir, pretrained_model=None,
 
 
 def test_net(params, imdb, weights_filename="default", max_per_image=300,
-             thresh=0.05, compute_dtype=None, log=print):
+             thresh=0.05, compute_dtype=None, log=print,
+             frame_indices=None, detect_fn=None, evaluate=True):
     """Evaluate over an imdb; returns (all_boxes, all_boxes_cnr).
 
     test_mv.py:321-517 structure: all_boxes[cls][image] = (N,5) BEV dets,
     all_boxes_cnr[cls][image] = (N,25) corner dets.
+
+    frame_indices restricts the loop to a subset (multi-host sharding,
+    parallel/multihost.py) — slots outside the shard stay empty and the
+    result pickles are suffixed; detect_fn injects a custom per-frame
+    detector (tests); evaluate=False skips writing/AP (shards evaluate
+    after the merge).
     """
     num_images = imdb.num_images
     k = imdb.num_classes
@@ -125,14 +132,16 @@ def test_net(params, imdb, weights_filename="default", max_per_image=300,
     all_boxes_cnr = [[[] for _ in range(num_images)] for _ in range(k)]
     output_dir = get_output_dir(imdb, weights_filename)
 
-    detect = build_detect_fn(
+    detect = detect_fn if detect_fn is not None else build_detect_fn(
         pre_nms_top_n=cfg.TEST.RPN_PRE_NMS_TOP_N,
         post_nms_top_n=cfg.TEST.RPN_POST_NMS_TOP_N,
         rpn_nms_thresh=cfg.TEST.RPN_NMS_THRESH,
         compute_dtype=compute_dtype)
 
+    indices = (range(num_images) if frame_indices is None
+               else list(frame_indices))
     timers = {"im_detect": Timer(), "misc": Timer()}
-    for i in range(num_images):
+    for i in indices:
         entry = {"image_path": imdb.image_path_at(i),
                  "lidar_bv_path": imdb.lidar_path_at(i),
                  "calib": imdb.calib_at(i),
@@ -158,6 +167,9 @@ def test_net(params, imdb, weights_filename="default", max_per_image=300,
         log("im_detect: {:d}/{:d} {:.3f}s {:.3f}s".format(
             i + 1, num_images, timers["im_detect"].average_time,
             timers["misc"].average_time))
+
+    if not evaluate:
+        return all_boxes, all_boxes_cnr
 
     os.makedirs(output_dir, exist_ok=True)
     with open(os.path.join(output_dir, "detections.pkl"), "wb") as f:

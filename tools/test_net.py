@@ -33,6 +33,13 @@ def parse_args():
                         type=str, help="VOCdevkit path for voc_* imdbs")
     parser.add_argument("--dtype", dest="dtype", default="bfloat16",
                         choices=["bfloat16", "float32"])
+    parser.add_argument("--host_id", dest="host_id", default=None, type=int,
+                        help="evaluate only this host's frame shard")
+    parser.add_argument("--host_count", dest="host_count", default=1,
+                        type=int, help="total hosts sharding the eval")
+    parser.add_argument("--merge_shards", dest="merge_shards",
+                        action="store_true",
+                        help="merge per-host shard pickles and evaluate")
     parser.add_argument("--set", dest="set_cfgs", default=None,
                         nargs=argparse.REMAINDER)
     if len(sys.argv) == 1:
@@ -98,8 +105,19 @@ def main():
         params = load_pretrained(params, args.model)
         weights_filename = os.path.splitext(os.path.basename(args.model))[0]
 
-    test_net(params, imdb, weights_filename=weights_filename,
-             compute_dtype=dtype)
+    if args.merge_shards:
+        from mv3d_tf_tpu.parallel.multihost import merge_shards
+        merge_shards(imdb, args.host_count,
+                     weights_filename=weights_filename)
+    elif args.host_id is not None:
+        from mv3d_tf_tpu.parallel.multihost import run_host_shard
+        path = run_host_shard(params, imdb, args.host_id, args.host_count,
+                              weights_filename=weights_filename,
+                              compute_dtype=dtype)
+        print("wrote shard " + path)
+    else:
+        test_net(params, imdb, weights_filename=weights_filename,
+                 compute_dtype=dtype)
 
 
 if __name__ == "__main__":
