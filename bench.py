@@ -98,6 +98,69 @@ def main():
     log("single-frame p50 latency: {:.1f} ms".format(
         sorted(lats)[len(lats) // 2] * 1000))
 
+    # aux: RPN-only stage (BASELINE.md config #3): trunks are excluded —
+    # this times proposal generation + in-graph NMS on RPN outputs
+    from mv3d_tf_tpu.proposals import proposal_layer_3d
+
+    @jax.jit
+    def rpn_only(prob, box, calib):
+        return jax.vmap(
+            lambda p, d, c: proposal_layer_3d(
+                p[None], d[None], c, 75, 75, pre_nms_top_n=6000,
+                post_nms_top_n=300, nms_thresh=0.7))(prob, box, calib)
+
+    prob = jax.device_put(rng.rand(B, 75, 75, 8).astype(np.float32))
+    boxd = jax.device_put(
+        (rng.rand(B, 75, 75, 24).astype(np.float32) - 0.5) * 0.1)
+    dt_rpn = timeit(lambda: rpn_only(prob, boxd, calib)["scores"], 10)
+    log("rpn proposal+nms stage: {:.1f} ms/batch -> {:.0f} frames/s".format(
+        dt_rpn * 1000, B / dt_rpn))
+
+    # aux: end-to-end train step (BASELINE.md config #4; batch 1 per the
+    # reference recipe, full 601x601 BEV + padded image)
+    from mv3d_tf_tpu.train import build_train_step
+    from mv3d_tf_tpu.anchors import get_anchor_grid
+    from mv3d_tf_tpu import geometry as G
+
+    step, tx = build_train_step(compute_dtype=jnp.bfloat16)
+    opt_state = tx.init(params)
+    grid = get_anchor_grid(75, 75)
+    inside = np.where(grid.inside)[0]
+    max_gt = 8
+    gt_bv = np.zeros((max_gt, 5), np.float32)
+    gt_valid = np.zeros((max_gt,), bool)
+    gt_3d = np.zeros((max_gt, 7), np.float32)
+    gt_3d[:, 3:6] = 1.0
+    gt_cnr = np.zeros((max_gt, 25), np.float32)
+    for g in range(4):
+        a = inside[(g * 211 + 40) % len(inside)]
+        gt_bv[g, :4] = grid.anchors_bv[a]
+        gt_bv[g, 4] = 1.0
+        gt_valid[g] = True
+        gt_3d[g, :6] = np.asarray(G.bv_anchor_to_lidar(
+            gt_bv[g:g + 1, :4]))[0]
+        gt_3d[g, 6] = 1.0
+        gt_cnr[g, :24] = np.asarray(G.lidar_3d_to_corners(
+            gt_3d[g:g + 1, :6]))[0]
+        gt_cnr[g, 24] = 1.0
+    batch1 = {
+        "bev": bev[0], "image": image[0], "calib": calib[0],
+        "gt_boxes_bv": jax.device_put(gt_bv),
+        "gt_boxes_3d": jax.device_put(gt_3d),
+        "gt_boxes_corners": jax.device_put(gt_cnr),
+        "gt_valid": jax.device_put(gt_valid),
+    }
+    key = jax.random.PRNGKey(0)
+    p_t, o_t, m = step(params, opt_state, batch1, key)
+    barrier(m["loss"])
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        p_t, o_t, m = step(p_t, o_t, batch1, key)
+    barrier(m["loss"])
+    dt_tr = (time.perf_counter() - t0) / iters
+    log("train step (batch 1): {:.1f} ms/iter".format(dt_tr * 1000))
+
     # aux: BEV generation throughput (BASELINE.md config #2).
     # KITTI-realistic point distribution: ~26k of 131k points land in the
     # (0,60) x (+-30) x (-2,0.4) crop — a uniform [0,50)^3 cloud puts

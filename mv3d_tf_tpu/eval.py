@@ -11,8 +11,6 @@ Parity notes:
     exactly like box_detect's 4-tuple.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,7 +18,7 @@ import numpy as np
 from mv3d_tf_tpu import geometry as G
 from mv3d_tf_tpu.config import cfg
 from mv3d_tf_tpu.models import mv3d
-from mv3d_tf_tpu.ops.nms import nms, nms_np
+from mv3d_tf_tpu.ops.nms import nms_np
 from mv3d_tf_tpu.ops.roi_pool import roi_pool_fast
 from mv3d_tf_tpu.proposals import IMG_BOUNDS, IMG_PAD, proposal_layer_3d
 
@@ -155,13 +153,6 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
         }
 
     return detect_batch
-
-
-@functools.partial(jax.jit, static_argnames=("max_out",))
-def per_class_nms(boxes, scores, valid, max_out, nms_thresh, score_thresh):
-    """Per-class post-processing (test_mv.py:420-444): threshold + NMS."""
-    keep = valid & (scores > score_thresh)
-    return nms(boxes, scores, keep, max_out, nms_thresh)
 
 
 def frame_detections(det, num_classes=2, score_thresh=0.05,

@@ -68,3 +68,78 @@ def show_bev_detections(bev, boxes_bv, scores=None, channel=8):
     """BEV intensity channel + detection rectangles -> numpy image."""
     base = scale_to_255(np.asarray(bev)[:, :, channel], 0, 1)
     return show_image_boxes(base, boxes_bv)
+
+
+# box wireframe edges for the (x0..7, y0..7, z0..7) corner layout
+# (geometry.lidar_3d_to_corners: 0-3 bottom ring, 4-7 top ring)
+_BOX_EDGES = [(0, 1), (1, 2), (2, 3), (3, 0),
+              (4, 5), (5, 6), (6, 7), (7, 4),
+              (0, 4), (1, 5), (2, 6), (3, 7)]
+
+
+def _view_matrix(azim_deg, elev_deg):
+    az = np.deg2rad(azim_deg)
+    el = np.deg2rad(elev_deg)
+    # rotate lidar frame (x fwd, y left, z up) into camera coords
+    rz = np.array([[np.cos(az), -np.sin(az), 0],
+                   [np.sin(az), np.cos(az), 0],
+                   [0, 0, 1]], np.float32)
+    rx = np.array([[1, 0, 0],
+                   [0, np.cos(el), -np.sin(el)],
+                   [0, np.sin(el), np.cos(el)]], np.float32)
+    swap = np.array([[0, -1, 0],       # cam x = -lidar y (right)
+                     [0, 0, -1],       # cam y = -lidar z (down)
+                     [1, 0, 0]], np.float32)  # cam z = lidar x (depth)
+    return swap @ rx @ rz
+
+
+def _project(pts, size, azim_deg, elev_deg, cam_pos, focal):
+    h, w = size
+    cam = (np.asarray(pts, np.float32) - cam_pos) @ _view_matrix(
+        azim_deg, elev_deg).T
+    z = np.maximum(cam[:, 2], 1e-3)
+    u = focal * cam[:, 0] / z + w / 2.0
+    v = focal * cam[:, 1] / z + h / 2.0
+    return u, v, cam[:, 2]
+
+
+def show_pointcloud_3d(scan, corner_sets=(), colors=((64, 255, 64),),
+                       size=(500, 1000), azim_deg=0.0, elev_deg=-16.0,
+                       cam_pos=(-14.0, 0.0, 9.0), focal=500.0):
+    """Headless 3D render: perspective-projected point cloud + 3D box
+    wireframes — replaces the reference's interactive mayavi view
+    (test_mv.py:447-484 / tools/demo_mv.py:171-180). Returns an (H,W,3)
+    uint8 image.
+
+    scan: (N, 3/4) lidar points; corner_sets: iterable of (M, 24) corner
+    arrays drawn with the matching entry of colors (cycled).
+    """
+    from PIL import Image, ImageDraw
+    h, w = size
+    img = np.zeros((h, w, 3), np.uint8)
+    scan = np.asarray(scan, np.float32).reshape(-1, scan.shape[-1])
+    if len(scan):
+        u, v, z = _project(scan[:, :3], size, azim_deg, elev_deg,
+                           np.asarray(cam_pos, np.float32), focal)
+        ok = (z > 0.5) & (u >= 0) & (u < w - 1) & (v >= 0) & (v < h - 1)
+        ui, vi = u[ok].astype(np.int32), v[ok].astype(np.int32)
+        # colorize by height like the mayavi default colormap-by-z
+        shade = scale_to_255(scan[ok, 2], min=-2.0, max=1.0)
+        img[vi, ui, 0] = np.maximum(img[vi, ui, 0], shade)
+        img[vi, ui, 1] = np.maximum(img[vi, ui, 1], 255 - shade)
+        img[vi, ui, 2] = 96
+
+    pil = Image.fromarray(img)
+    dr = ImageDraw.Draw(pil)
+    for si, cnrs in enumerate(corner_sets):
+        color = tuple(colors[si % len(colors)])
+        for c in np.asarray(cnrs, np.float32).reshape(-1, 24):
+            pts = c.reshape(3, 8).T                      # (8, 3)
+            u, v, z = _project(pts, size, azim_deg, elev_deg,
+                               np.asarray(cam_pos, np.float32), focal)
+            if np.any(z <= 0.5):
+                continue
+            for a, b in _BOX_EDGES:
+                dr.line([(float(u[a]), float(v[a])),
+                         (float(u[b]), float(v[b]))], fill=color, width=2)
+    return np.asarray(pil)

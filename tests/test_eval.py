@@ -83,3 +83,20 @@ def test_frame_detections_postprocessing(small_inputs):
         assert (dets_bv[:, -1] >= fifth).all()
     # scores sorted as NMS keeps them (descending)
     assert (np.diff(dets_bv[:, -1]) <= 1e-6).all()
+
+
+def test_show_pointcloud_3d(rng):
+    """Headless 3D render: points + wireframes land inside the canvas."""
+    import numpy as np
+    from mv3d_tf_tpu import geometry as G
+    from mv3d_tf_tpu.utils.draw import show_pointcloud_3d
+
+    scan = np.hstack([
+        rng.uniform([0, -30, -2], [60, 30, 1], (5000, 3)),
+        rng.rand(5000, 1)]).astype(np.float32)
+    cnr = np.asarray(G.lidar_3d_to_corners(np.array(
+        [[15, 0, -1, 3.9, 1.6, 1.56]], np.float32)))
+    img = show_pointcloud_3d(scan, [cnr], colors=[(64, 255, 64)])
+    assert img.shape == (500, 1000, 3) and img.dtype == np.uint8
+    assert int((img > 0).sum()) > 1000          # points rendered
+    assert int((img[..., 1] == 255).sum()) > 50  # wireframe drawn

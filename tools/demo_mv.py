@@ -65,7 +65,8 @@ def main():
     from mv3d_tf_tpu.ops import bev as bev_ops
     from mv3d_tf_tpu.utils.checkpoint import load_pretrained
     from mv3d_tf_tpu.utils.draw import (show_bev_detections,
-                                        show_image_boxes, show_lidar_corners)
+                                        show_image_boxes, show_lidar_corners,
+                                        show_pointcloud_3d)
 
     os.makedirs(args.out, exist_ok=True)
     image_path = osp.join(args.root, "image_2", args.index + ".png")
@@ -107,6 +108,16 @@ def main():
             osp.join(args.out, "{}_cls{}_img.png".format(args.index, j)))
         Image.fromarray(bev_vis).save(
             osp.join(args.out, "{}_cls{}_bev.png".format(args.index, j)))
+        # headless 3D render: point cloud + unregressed (green) and
+        # regressed (magenta) corner wireframes — replaces the
+        # reference's interactive mayavi window (demo_mv.py:171-180)
+        if osp.exists(velo_path):
+            scan = bev_ops.load_velodyne(velo_path)
+            pc3d = show_pointcloud_3d(
+                scan, [dets_cnr[:, :24], dets_cnr_r[:, :24]],
+                colors=[(64, 255, 64), (255, 64, 255)])
+            Image.fromarray(pc3d).save(
+                osp.join(args.out, "{}_cls{}_3d.png".format(args.index, j)))
     print("wrote overlays to", args.out)
 
 
