@@ -60,10 +60,12 @@ def build_detect_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
                                  nms_thresh=rpn_nms_thresh)
 
         pooled_bv = roi_pool_fast(c5[0], rois["rois_bv"],
-                                  spatial_scale=1.0 / 8)
+                                  spatial_scale=1.0 / 8,
+                                  rois_per_step=12)
         pooled_img = roi_pool_fast(c5_2[0], rois["rois_img"],
                                    spatial_scale=1.0 / 8,
-                                   max_in_h=max_img_h, max_in_w=max_img_w)
+                                   max_in_h=max_img_h, max_in_w=max_img_w,
+                                   rois_per_step=12)
         cls_score, cls_prob, bbox_pred = mv3d.fusion_head(
             params, pooled_bv, pooled_img, dtype=compute_dtype)
 
@@ -127,11 +129,14 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
         flat_bv = rois["rois_bv"].reshape(B * P, 5).at[:, 0:1].set(frame_idx)
         flat_img = rois["rois_img"].reshape(B * P, 5).at[:, 0:1].set(frame_idx)
 
+        # rois_per_step must divide the per-frame roi count P (blocks may
+        # not straddle frames); 12 divides the 300-roi test budget
+        rt = 12 if P % 12 == 0 else 1
         pooled_bv = roi_pool_fast(c5, flat_bv, spatial_scale=1.0 / 8,
-                                  chunk=512)
+                                  chunk=512, rois_per_step=rt)
         pooled_img = roi_pool_fast(c5_2, flat_img, spatial_scale=1.0 / 8,
                                    max_in_h=max_img_h, max_in_w=max_img_w,
-                                   chunk=512)
+                                   chunk=512, rois_per_step=rt)
         cls_score, cls_prob, bbox_pred = mv3d.fusion_head(
             params, pooled_bv, pooled_img, dtype=compute_dtype)
 

@@ -77,9 +77,9 @@ def nms_matrix(boxes, scores, valid, max_out, iou_threshold=0.7):
     return keep_idx * keep_valid, keep_valid
 
 
-@functools.partial(jax.jit, static_argnames=("max_out", "block"))
+@functools.partial(jax.jit, static_argnames=("max_out", "block", "presorted"))
 def nms_blocked(boxes, scores, valid, max_out, iou_threshold=0.7,
-                block=512):
+                block=512, presorted=False):
     """Exact greedy NMS via a scan over score-sorted BLOCKS — the
     TPU-native shape of the reference's bitmask GPU kernel
     (lib/nms/nms_kernel.cu:34-78): resolve each block internally, then
@@ -87,6 +87,13 @@ def nms_blocked(boxes, scores, valid, max_out, iou_threshold=0.7,
     the N x N matrix (nms_matrix's (6000^2) mask costs ~144 MB/frame of
     HBM traffic per fixpoint round); work is streamed in (block, N)
     strips. Same keep set as cpu_nms.pyx:17-68.
+
+    presorted=True promises the caller already ordered boxes/scores by
+    descending score with all invalid entries trailing (exactly what
+    top_k_by_score emits) — the internal argsort is skipped. Besides
+    being redundant work, a second sort stacked on lax.top_k in one
+    batched program sends the axon remote compiler into minutes-long
+    schedules that can trip the TPU worker watchdog.
 
     Returns (keep_idx (max_out,), keep_valid (max_out,)) like nms().
     """
@@ -99,10 +106,15 @@ def nms_blocked(boxes, scores, valid, max_out, iou_threshold=0.7,
     pad = nblk * bs - n
 
     active = valid & jnp.isfinite(scores)
-    masked_scores = jnp.where(active, scores, NEG_INF)
-    order = jnp.argsort(-masked_scores)
-    boxes_s = jnp.pad(boxes[order], ((0, pad), (0, 0)))
-    valid_s = jnp.pad(active[order], (0, pad))
+    if presorted:
+        order = jnp.arange(n, dtype=jnp.int32)
+        boxes_s = jnp.pad(boxes, ((0, pad), (0, 0)))
+        valid_s = jnp.pad(active, (0, pad))
+    else:
+        masked_scores = jnp.where(active, scores, NEG_INF)
+        order = jnp.argsort(-masked_scores)
+        boxes_s = jnp.pad(boxes[order], ((0, pad), (0, 0)))
+        valid_s = jnp.pad(active[order], (0, pad))
 
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)

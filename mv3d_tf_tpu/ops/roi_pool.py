@@ -150,16 +150,21 @@ def roi_pool(feat, rois, pooled=7, spatial_scale=1.0 / 8,
 
 
 def roi_pool_fast(feat, rois, pooled=7, spatial_scale=1.0 / 8,
-                  max_in_h=None, max_in_w=None, chunk=None):
+                  max_in_h=None, max_in_w=None, chunk=None,
+                  rois_per_step=1):
     """Inference dispatch: the Pallas kernel on TPU (3-4x faster, VMEM
     resident), the XLA formulation elsewhere. NOT differentiable on TPU
-    (the kernel has no VJP) — training uses roi_pool directly."""
+    (the kernel has no VJP) — training uses roi_pool directly.
+
+    rois_per_step: Pallas-path roi-block size (see roi_pool_pallas);
+    callers must pick a divisor of their per-frame roi count."""
     import jax as _jax
     if _jax.default_backend() != "cpu":
         from mv3d_tf_tpu.ops.roi_pool_pallas import roi_pool_pallas
         return roi_pool_pallas(feat, rois, pooled=pooled,
                                spatial_scale=spatial_scale,
-                               max_in_h=max_in_h, max_in_w=max_in_w)
+                               max_in_h=max_in_h, max_in_w=max_in_w,
+                               rois_per_step=rois_per_step)
     return roi_pool(feat, rois, pooled=pooled, spatial_scale=spatial_scale,
                     max_in_h=max_in_h, max_in_w=max_in_w, chunk=chunk)
 

@@ -44,16 +44,28 @@ def _bin_bounds(rois, pooled, spatial_scale, H, W):
 
 @functools.partial(jax.jit, static_argnames=("pooled", "spatial_scale",
                                              "max_in_h", "max_in_w",
-                                             "interpret"))
+                                             "interpret", "rois_per_step"))
 def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
-                    max_in_h=None, max_in_w=None, interpret=False):
+                    max_in_h=None, max_in_w=None, interpret=False,
+                    rois_per_step=1):
     """Drop-in replacement for ops/roi_pool.roi_pool (same signature
-    semantics; feat may be (H,W,C) or (B,H,W,C) with rois[:,0] = frame)."""
+    semantics; feat may be (H,W,C) or (B,H,W,C) with rois[:,0] = frame).
+
+    rois_per_step > 1 processes a CONTIGUOUS block of rois per grid step,
+    amortizing the fixed per-step cost (grid sequencing + output-block
+    DMA) — the dominant cost at production roi counts (2400/view), where
+    the per-roi compute is a few microseconds of VPU work. Requirements:
+    R % rois_per_step == 0 and every block's rois pool from the SAME
+    frame (callers with P rois/frame pass a divisor of P; the feature
+    BlockSpec indexes by the block's first roi)."""
     batched = feat.ndim == 4
     if not batched:
         feat = feat[None]
     B, H, W, C = feat.shape
     R = rois.shape[0]
+    RT = rois_per_step
+    if RT > 1 and R % RT != 0:
+        RT = 1
     dtype = feat.dtype
 
     # Pad the width to a multiple of 8 so every dynamic column-window
@@ -94,49 +106,60 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
 
     def kernel(bidx_ref, hs_ref, he_ref, ws_ref, we_ref, feat_ref, out_ref,
                acc_ref):
-        # grid is (C-tiles, R) with R innermost: consecutive rois of the
-        # same frame keep the SAME feature-block index, so the pipeline
-        # re-DMAs the block only at frame/ctile boundaries (~B*C/CT
-        # fetches) instead of every step (R*C/CT fetches = tens of GB)
-        r = pl.program_id(1)
+        # grid is (C-tiles, R-blocks) with blocks innermost: consecutive
+        # roi blocks of the same frame keep the SAME feature-block index,
+        # so the pipeline re-DMAs the block only at frame/ctile
+        # boundaries (~B*C/CT fetches) instead of every step
+        base_r = pl.program_id(1) * RT
         iota_win = jax.lax.broadcasted_iota(jnp.int32, (WIN, 1), 0)
-        for ph in range(pooled):
-            h0 = hs_ref[ph, r]
-            h1 = he_ref[ph, r]
-            # H-indexing a (1,H,W,CT) VMEM ref is offset-free (the tiled
-            # dims are W,C); arbitrary W offsets are NOT — hence the
-            # aligned-window trick below for columns. The row loop has
-            # DYNAMIC bounds: typical BEV car rois span 1-2 feature rows
-            # vs the static worst case of ~13, so masking a fixed unroll
-            # wastes ~6x the work.
-            acc = jax.lax.fori_loop(
-                h0, h1,
-                lambda h, a: jnp.maximum(a, feat_ref[0, h]),
-                jnp.full((W_pad, CT), -jnp.inf, dtype))
-            acc_ref[:] = acc
-            for pw in range(pooled):
-                w0 = ws_ref[pw, r]
-                w1 = we_ref[pw, r]
-                base = jnp.clip((w0 // 8) * 8, 0, W_pad - WIN)
-                win = acc_ref[pl.ds(pl.multiple_of(base, 8), WIN), :]
-                off = iota_win + base
-                mask = (off >= w0) & (off < w1)
-                m = jnp.max(jnp.where(mask, win,
-                                      jnp.full((WIN, CT), -jnp.inf, dtype)),
-                            axis=0)
-                empty = (h1 <= h0) | (w1 <= w0)
-                out_ref[0, ph, pw, :] = jnp.where(
-                    empty, jnp.zeros((CT,), dtype), m)
+
+        def one_roi(rr, _):
+            r = base_r + rr
+            for ph in range(pooled):
+                h0 = hs_ref[ph, r]
+                h1 = he_ref[ph, r]
+                # H-indexing a (1,H,W,CT) VMEM ref is offset-free (the
+                # tiled dims are W,C); arbitrary W offsets are NOT —
+                # hence the aligned-window trick below for columns. The
+                # row loop has DYNAMIC bounds: typical BEV car rois span
+                # 1-2 feature rows vs the static worst case of ~13, so
+                # masking a fixed unroll wastes ~6x the work.
+                acc = jax.lax.fori_loop(
+                    h0, h1,
+                    lambda h, a: jnp.maximum(a, feat_ref[0, h]),
+                    jnp.full((W_pad, CT), -jnp.inf, dtype))
+                acc_ref[:] = acc
+                for pw in range(pooled):
+                    w0 = ws_ref[pw, r]
+                    w1 = we_ref[pw, r]
+                    base = jnp.clip((w0 // 8) * 8, 0, W_pad - WIN)
+                    win = acc_ref[pl.ds(pl.multiple_of(base, 8), WIN), :]
+                    off = iota_win + base
+                    mask = (off >= w0) & (off < w1)
+                    m = jnp.max(
+                        jnp.where(mask, win,
+                                  jnp.full((WIN, CT), -jnp.inf, dtype)),
+                        axis=0)
+                    empty = (h1 <= h0) | (w1 <= w0)
+                    out_ref[rr, ph, pw, :] = jnp.where(
+                        empty, jnp.zeros((CT,), dtype), m)
+            return 0
+
+        if RT == 1:
+            one_roi(0, 0)
+        else:
+            jax.lax.fori_loop(0, RT, one_roi, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(C // CT, R),
+        grid=(C // CT, R // RT),
         in_specs=[
             pl.BlockSpec((1, H, W_pad, CT),
-                         lambda c, r, bidx_ref, *_: (bidx_ref[0, r], 0, 0, c),
+                         lambda c, r, bidx_ref, *_: (bidx_ref[0, r * RT],
+                                                     0, 0, c),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, pooled, pooled, CT),
+        out_specs=pl.BlockSpec((RT, pooled, pooled, CT),
                                lambda c, r, *_: (r, 0, 0, c),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((W_pad, CT), dtype)],

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from mv3d_tf_tpu import geometry as G
 from mv3d_tf_tpu.anchors import get_anchor_grid
 from mv3d_tf_tpu.models.mv3d import rpn_fg_scores
-from mv3d_tf_tpu.ops.nms import nms_blocked, top_k_by_score
+from mv3d_tf_tpu.ops.nms import nms, nms_blocked, top_k_by_score
 
 # the reference hardcodes the camera image bounds + padding rather than
 # using the real image size (proposal_layer_tf.py:146-147,343-352)
@@ -81,10 +81,25 @@ def proposal_layer_3d(rpn_cls_prob, rpn_bbox_pred, calib,
     pimg = proposals_img[top_idx]
     psc = scores[top_idx]
 
-    # greedy BEV NMS + post-NMS top-N (proposal_layer_tf.py:172-178);
-    # blocked exact-greedy scan — no N^2 mask in HBM (ops/nms.py)
-    keep_idx, keep_valid = nms_blocked(bv, psc, top_valid, post_nms_top_n,
-                                       nms_thresh)
+    # greedy BEV NMS + post-NMS top-N (proposal_layer_tf.py:172-178).
+    # Implementation choice (exact greedy keep set either way):
+    #   * small post-NMS N (test: 300) -> fori-loop greedy `nms`:
+    #     post_nms_top_n sequential O(N) steps, no N^2 mask, and no
+    #     data-dependent while_loop — batched while_loops downstream of
+    #     lax.top_k/gathers hard-crash the TPU worker when the program
+    #     is small (see ops/nms.py), and fori also measures faster here
+    #     (11 ms/batch-of-8 for the whole stage at 6000 candidates).
+    #   * large post-NMS N (train: 2000) -> blocked scan `nms_blocked`:
+    #     2000 sequential fori steps would dominate the train step; the
+    #     blocked version resolves 512 candidates per scan step and is
+    #     stable inside the large fused train/detect graphs.
+    if post_nms_top_n <= 512:
+        keep_idx, keep_valid = nms(bv, psc, top_valid, post_nms_top_n,
+                                   nms_thresh)
+    else:
+        keep_idx, keep_valid = nms_blocked(bv, psc, top_valid,
+                                           post_nms_top_n, nms_thresh,
+                                           presorted=True)
 
     zeros = jnp.zeros((post_nms_top_n, 1), jnp.float32)
     out_bv = jnp.concatenate([zeros, bv[keep_idx]], axis=1)

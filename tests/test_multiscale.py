@@ -1,0 +1,90 @@
+"""Multiscale (IS_MULTISCALE) data path vs reference semantics
+(lib/roi_data_layer/minibatch2.py, roidb2.py)."""
+
+import numpy as np
+import pytest
+
+from mv3d_tf_tpu.config import cfg
+from mv3d_tf_tpu.data import multiscale as ms
+
+
+@pytest.fixture
+def roidb_2im(tmp_path):
+    from PIL import Image
+    rng = np.random.RandomState(7)
+    roidb = []
+    for i in range(2):
+        p = tmp_path / f"im{i}.png"
+        Image.fromarray(rng.randint(0, 255, (60, 80, 3), np.uint8)).save(p)
+        # 2 gt boxes + 6 proposal boxes around them
+        gt = np.array([[10, 10, 30, 40], [40, 20, 70, 50]], np.float32)
+        prop = np.vstack([
+            gt + rng.randint(-2, 3, (2, 4)),
+            gt + rng.randint(-12, -5, (2, 4)),
+            np.array([[2, 2, 12, 12], [60, 2, 78, 18]], np.float32),
+        ]).clip(0, 79)
+        boxes = np.vstack([gt, prop]).astype(np.uint16)
+        from mv3d_tf_tpu.ops.iou import bbox_overlaps
+        ov = np.asarray(bbox_overlaps(boxes.astype(np.float32),
+                                      gt.astype(np.float32)))
+        gt_classes = np.zeros(len(boxes), np.int32)
+        gt_classes[:2] = 1
+        roidb.append({
+            "image": str(p), "flipped": False, "boxes": boxes,
+            "gt_classes": gt_classes,
+            "max_classes": (ov.max(1) > 0).astype(np.int32),
+            "max_overlaps": ov.max(1),
+        })
+        roidb[-1]["max_overlaps"][:2] = 1.0
+    return roidb
+
+
+def test_bbox_regression_targets_normalized(roidb_2im):
+    means, stds = ms.add_bbox_regression_targets(roidb_2im, num_classes=2)
+    assert means.shape == (8,) and stds.shape == (8,)
+    # normalized fg targets: empirical mean ~0, std ~1 per class 1
+    rows = np.vstack([e["bbox_targets"] for e in roidb_2im])
+    fg = rows[rows[:, 0] == 1, 1:]
+    assert fg.shape[0] >= 4
+    np.testing.assert_allclose(fg.mean(axis=0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(fg.std(axis=0), 1.0, atol=1e-4)
+
+
+def test_project_rois_level_rule():
+    # 224x224 box at scale 1 is exactly the target area -> level of 1.0
+    rois = np.array([[0, 0, 223, 223], [0, 0, 55, 55]], np.float32)
+    scaled, levels = ms.project_im_rois_multiscale(rois, [1.0, 2.0, 4.0])
+    assert levels[0, 0] == 0          # 224^2 * 1 nearest
+    assert levels[1, 0] == 2          # 56^2 * 16 = 224^2 exactly
+    np.testing.assert_allclose(scaled[1], rois[1] * 4.0)
+
+
+def test_minibatch_multiscale_blobs(roidb_2im, monkeypatch):
+    monkeypatch.setattr(cfg, "IS_MULTISCALE", True)
+    monkeypatch.setattr(cfg.TRAIN, "SCALES_BASE", (1.0, 2.0))
+    monkeypatch.setattr(cfg.TRAIN, "BATCH_SIZE", 16)
+    ms.add_bbox_regression_targets(roidb_2im, num_classes=2)
+    rng = np.random.RandomState(0)
+    blobs = ms.get_minibatch_multiscale(roidb_2im, num_classes=2, rng=rng)
+    # pyramid blob: 2 images x 2 scales, padded to the largest (scale 2)
+    assert blobs["data"].shape == (4, 120, 160, 3)
+    assert blobs["rois"].shape == (16, 5)
+    # batch indices address existing pyramid slabs
+    assert blobs["rois"][:, 0].min() >= 0
+    assert blobs["rois"][:, 0].max() <= 3
+    # rois are scaled into their level (inside the level's extent)
+    lv_scale = np.asarray([1.0, 2.0, 1.0, 2.0])[
+        blobs["rois"][:, 0].astype(int)]
+    assert (blobs["rois"][:, 3] <= 80 * lv_scale - 1 + 1e-5).all()
+    assert blobs["labels"].shape == (16,)
+    # fg fraction respected (4 fg-capable boxes per image)
+    n_fg = int((blobs["labels"] > 0).sum())
+    assert 1 <= n_fg <= int(round(cfg.TRAIN.FG_FRACTION * 16))
+    # expanded targets: nonzero only in the label's 4-col slot
+    t = blobs["bbox_targets"]
+    w = blobs["bbox_inside_weights"]
+    assert t.shape == (16, 8) and w.shape == (16, 8)
+    fg_rows = blobs["labels"] > 0
+    assert (w[fg_rows, 4:] == 1).all() and (w[:, :4] == 0).all()
+    assert (t[~fg_rows] == 0).all()
+    assert (blobs["bbox_outside_weights"] == (w > 0)).all()

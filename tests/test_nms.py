@@ -127,3 +127,47 @@ def test_nms_matrix_cascade_and_masks(rng):
     idx, val = nms_matrix(boxes, scores, valid, 4, 0.2)
     exp = nms_np(np.hstack([boxes[:10], scores[:10, None]]), 0.2)[:4]
     assert list(np.asarray(idx)[np.asarray(val)]) == exp
+
+
+def test_nms_blocked_matches_greedy_oracle(rng):
+    from mv3d_tf_tpu.ops.nms import nms_blocked
+    for trial in range(3):
+        dets = _rand_dets(rng, 300, span=150.0)
+        for thresh in (0.3, 0.7):
+            exp = nms_np(dets, thresh)
+            # multi-block path: block=64 -> 5 blocks over 300 boxes
+            idx, val = nms_blocked(dets[:, :4], dets[:, 4],
+                                   np.ones(len(dets), bool), 300, thresh,
+                                   block=64)
+            got = list(np.asarray(idx)[np.asarray(val)])
+            assert got == exp, f"trial {trial} thresh {thresh}"
+
+
+def test_nms_blocked_presorted_matches_unsorted(rng):
+    from mv3d_tf_tpu.ops.nms import nms_blocked
+    dets = _rand_dets(rng, 300, span=150.0)
+    order = np.argsort(-dets[:, 4])
+    sdets = dets[order]
+    exp = nms_np(dets, 0.5)
+    idx, val = nms_blocked(sdets[:, :4], sdets[:, 4],
+                           np.ones(len(sdets), bool), 300, 0.5,
+                           block=64, presorted=True)
+    got = [int(order[i]) for i in np.asarray(idx)[np.asarray(val)]]
+    assert got == exp
+
+
+def test_nms_blocked_presorted_trailing_invalid(rng):
+    from mv3d_tf_tpu.ops.nms import nms_blocked
+    # top_k_by_score contract: valid entries sorted desc, invalid trail
+    # (their score slots hold arbitrary garbage, incl. high values)
+    dets = _rand_dets(rng, 100, span=120.0)
+    order = np.argsort(-dets[:, 4])
+    sdets = dets[order]
+    valid = np.ones(100, bool)
+    valid[60:] = False
+    sdets[60:, 4] = 99.0  # garbage scores must be ignored when invalid
+    exp = nms_np(np.hstack([sdets[:60, :4], sdets[:60, 4:5]]), 0.5)
+    idx, val = nms_blocked(sdets[:, :4], sdets[:, 4], valid, 100, 0.5,
+                           block=32, presorted=True)
+    got = list(np.asarray(idx)[np.asarray(val)])
+    assert got == exp

@@ -110,6 +110,27 @@ def test_pallas_kernel_matches_oracle_interpret(rng):
     np.testing.assert_array_equal(got2, exp2)
 
 
+def test_pallas_kernel_multi_roi_blocks_interpret(rng):
+    """rois_per_step>1 (block of rois per grid step) is bit-identical to
+    the one-roi-per-step kernel when blocks don't straddle frames."""
+    from mv3d_tf_tpu.ops.roi_pool_pallas import roi_pool_pallas
+    feats = rng.randn(3, 20, 24, 8).astype(np.float32)
+    P = 6  # rois per frame
+    rois = _rand_rois(rng, 3 * P, 160, 192)
+    for f in range(3):
+        rois[f * P:(f + 1) * P, 0] = f
+    base = np.asarray(roi_pool_pallas(feats, rois, spatial_scale=1 / 8,
+                                      interpret=True))
+    for rt in (2, 3, 6):
+        got = np.asarray(roi_pool_pallas(feats, rois, spatial_scale=1 / 8,
+                                         interpret=True, rois_per_step=rt))
+        np.testing.assert_array_equal(got, base)
+    # non-divisible rois_per_step falls back to 1 (still correct)
+    got = np.asarray(roi_pool_pallas(feats, rois, spatial_scale=1 / 8,
+                                     interpret=True, rois_per_step=7))
+    np.testing.assert_array_equal(got, base)
+
+
 def test_roi_pool_chunked_matches(rng):
     feat = rng.randn(20, 24, 8).astype(np.float32)
     rois = _rand_rois(rng, 50, 160, 192)
