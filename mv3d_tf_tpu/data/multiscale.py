@@ -90,14 +90,17 @@ def add_bbox_regression_targets(roidb, num_classes):
                 sq[k] += (t[idx, 1:] ** 2).sum(axis=0)
     means = sums / class_counts
     stds = np.sqrt(np.maximum(sq / class_counts - means ** 2, 0.0))
+    # per-coordinate zero-std guard: the reference only checks coord 0
+    # (roidb2.py:80-82), which NaNs the whole row when another coord is
+    # degenerate (constant targets) — divide by 1 there instead
+    safe = np.where(stds > 0, stds, 1.0)
     for entry in roidb:
         t = entry["bbox_targets"]
         for k in range(1, num_classes):
             idx = np.where(t[:, 0] == k)[0]
             t[idx, 1:] -= means[k]
-            if stds[k, 0] != 0:
-                t[idx, 1:] /= stds[k]
-    return means.ravel(), stds.ravel()
+            t[idx, 1:] /= safe[k]
+    return means.ravel(), safe.ravel()
 
 
 def get_image_blob_multiscale(entries):
@@ -108,7 +111,7 @@ def get_image_blob_multiscale(entries):
     ims, scales = [], []
     means = _pixel_means()
     for entry in entries:
-        im = load_image_bgr(entry["image"])
+        im = load_image_bgr(entry.get("image") or entry["image_path"])
         if entry.get("flipped"):
             im = im[:, ::-1, :].copy()
         im = im - means
@@ -245,3 +248,33 @@ def get_minibatch_multiscale(entries, num_classes, rng=None):
         "bbox_inside_weights": weights_blob,
         "bbox_outside_weights": (weights_blob > 0).astype(np.float32),
     }
+
+
+def pad_minibatch_multiscale(blobs, bucket_hw, rois_per_batch=None):
+    """Pad the variable-shape multiscale blobs to the static shapes the
+    jitted Fast R-CNN step (faster_rcnn_2d.build_fast_rcnn_train_step)
+    expects; adds a roi_valid mask for padded roi slots."""
+    rois_per_batch = rois_per_batch or cfg.TRAIN.BATCH_SIZE
+    n_levels, h, w = blobs["data"].shape[:3]
+    data = np.zeros((n_levels, bucket_hw[0], bucket_hw[1], 3), np.float32)
+    data[:, :min(h, bucket_hw[0]), :min(w, bucket_hw[1])] = \
+        blobs["data"][:, :bucket_hw[0], :bucket_hw[1]]
+    n = len(blobs["rois"])
+    assert n <= rois_per_batch
+    k = 4 * (blobs["bbox_targets"].shape[1] // 4)
+    out = {
+        "data": data,
+        "rois": np.zeros((rois_per_batch, 5), np.float32),
+        "labels": np.zeros((rois_per_batch,), np.int32),
+        "bbox_targets": np.zeros((rois_per_batch, k), np.float32),
+        "bbox_inside_weights": np.zeros((rois_per_batch, k), np.float32),
+        "bbox_outside_weights": np.zeros((rois_per_batch, k), np.float32),
+        "roi_valid": np.zeros((rois_per_batch,), bool),
+    }
+    out["rois"][:n] = blobs["rois"]
+    out["labels"][:n] = blobs["labels"].astype(np.int32)
+    out["bbox_targets"][:n] = blobs["bbox_targets"]
+    out["bbox_inside_weights"][:n] = blobs["bbox_inside_weights"]
+    out["bbox_outside_weights"][:n] = blobs["bbox_outside_weights"]
+    out["roi_valid"][:n] = True
+    return out

@@ -81,6 +81,109 @@ class PascalVOC(Imdb):
         return {"boxes": boxes, "gt_classes": gt_classes,
                 "gt_overlaps": overlaps, "flipped": False}
 
+    # -- proposal roidbs (pascal_voc2.py:432-586, the SubCNN variant) -----
+
+    def region_proposal_roidb(self):
+        """gt + precomputed region proposals merged into one roidb
+        (pascal_voc2.py:432-469): proposals come from per-image txt files
+        under <devkit>/region_proposals/<cfg.REGION_PROPOSAL>/
+        {training,testing}/<index>.txt with rows [x1 y1 x2 y2 score] —
+        the format tools/rpn_generate's imdb_proposals_det emits."""
+        from mv3d_tf_tpu.config import cfg
+        cache_file = osp.join(
+            self.cache_path, "{}_{}_region_proposal_roidb.pkl".format(
+                self.name, cfg.REGION_PROPOSAL))
+        if osp.exists(cache_file):
+            with open(cache_file, "rb") as fid:
+                return pickle.load(fid)
+        if self._image_set != "test":
+            gt = self.gt_roidb()
+            roidb = Imdb.merge_roidbs(
+                self._load_rpn_roidb(gt, cfg.REGION_PROPOSAL), gt)
+        else:
+            roidb = self._load_rpn_roidb(None, cfg.REGION_PROPOSAL)
+        with open(cache_file, "wb") as fid:
+            pickle.dump(roidb, fid, pickle.HIGHEST_PROTOCOL)
+        return roidb
+
+    def _load_rpn_roidb(self, gt_roidb, model):
+        """(pascal_voc2.py:470-500); degenerate boxes (x2<=x1 or y2<=y1)
+        are dropped like the reference."""
+        prefix = osp.join(model,
+                          "testing" if self._image_set == "test"
+                          else "training")
+        box_list = []
+        for index in self._image_index:
+            filename = osp.join(self._devkit_path, "region_proposals",
+                                prefix, index + ".txt")
+            assert osp.exists(filename), \
+                "RPN data not found at: {}".format(filename)
+            raw = np.loadtxt(filename, dtype=float)
+            if raw.ndim == 1:
+                raw = raw.reshape((0, 5) if raw.size == 0 else (1, 5))
+            keep = np.where((raw[:, 2] > raw[:, 0])
+                            & (raw[:, 3] > raw[:, 1]))[0]
+            box_list.append(raw[keep, :4])
+        return self.create_roidb_from_box_list(box_list, gt_roidb)
+
+    def selective_search_roidb(self):
+        """gt + selective-search .mat proposals
+        (pascal_voc2.py:502-543); boxes stored [y1 x1 y2 x2] 1-based."""
+        cache_file = osp.join(self.cache_path,
+                              self.name + "_selective_search_roidb.pkl")
+        if osp.exists(cache_file):
+            with open(cache_file, "rb") as fid:
+                return pickle.load(fid)
+        if self._image_set != "test":
+            gt = self.gt_roidb()
+            roidb = Imdb.merge_roidbs(
+                self._load_selective_search_roidb(gt), gt)
+        else:
+            roidb = self._load_selective_search_roidb(None)
+        with open(cache_file, "wb") as fid:
+            pickle.dump(roidb, fid, pickle.HIGHEST_PROTOCOL)
+        return roidb
+
+    def _load_selective_search_roidb(self, gt_roidb):
+        """(pascal_voc2.py:530-543): MATLAB boxes are [y1 x1 y2 x2],
+        1-based — reorder with (1,0,3,2) and subtract 1."""
+        import scipy.io as sio
+        filename = osp.join(self._devkit_path, "selective_search_data",
+                            self.name + ".mat")
+        assert osp.exists(filename), \
+            "Selective search data not found at: {}".format(filename)
+        raw = sio.loadmat(filename)["boxes"].ravel()
+        box_list = [raw[i][:, (1, 0, 3, 2)] - 1 for i in range(len(raw))]
+        return self.create_roidb_from_box_list(box_list, gt_roidb)
+
+    def evaluate_proposals(self, all_boxes, output_dir=None):
+        """Proposal recall over the gt roidb at IoU 0.5
+        (pascal_voc2.py:634-649 semantics, computed in-process instead of
+        shelling to MATLAB). all_boxes[cls][im] rows are [x1,y1,x2,y2,s].
+        Returns overall recall."""
+        gt_roidb = self.gt_roidb()
+        n_gt = 0
+        n_hit = 0
+        for i, entry in enumerate(gt_roidb):
+            gt = entry["boxes"].astype(np.float32)
+            if len(gt) == 0:
+                continue
+            props = np.vstack([
+                np.asarray(all_boxes[c][i]).reshape(-1, 5)[:, :4]
+                for c in range(1, self.num_classes)
+                if len(all_boxes[c][i])]) if self.num_classes > 1 else \
+                np.zeros((0, 4), np.float32)
+            n_gt += len(gt)
+            if len(props) == 0:
+                continue
+            from mv3d_tf_tpu.ops.iou import bbox_overlaps
+            ov = np.asarray(bbox_overlaps(gt, props.astype(np.float32)))
+            n_hit += int((ov.max(axis=1) >= 0.5).sum())
+        recall = n_hit / max(n_gt, 1)
+        print("proposal recall@0.5: {:.4f} ({}/{})".format(
+            recall, n_hit, n_gt))
+        return recall
+
     def _results_file_template(self):
         d = osp.join(self._devkit_path, "results", "VOC" + self._year, "Main")
         os.makedirs(d, exist_ok=True)

@@ -316,6 +316,72 @@ def build_train_step_2d(feat_h, feat_w, lr=0.001, momentum=0.9,
     return train_step, tx
 
 
+def build_fast_rcnn_train_step(n_levels, bucket_hw, lr=0.001,
+                               momentum=0.9, stepsize=50000, gamma=0.1,
+                               rois_per_batch=128, n_classes=21,
+                               keep_prob=0.5, compute_dtype=None):
+    """Fast R-CNN (no-RPN) train step over PRECOMPUTED proposals — the
+    reference's `cfg.TRAIN.HAS_RPN=False` branch (lib/fast_rcnn/train.py
+    with roi_data_layer/minibatch2.py blobs): image pyramid slabs in,
+    host-sampled rois with pyramid-level batch indices, head-only
+    CE + weighted smooth-L1 loss (no RPN terms).
+
+    batch dict (host-padded to static shapes, see
+    data/multiscale.pad_minibatch_multiscale):
+      data   (n_levels, H, W, 3)  pyramid slabs (mean-subtracted BGR)
+      rois   (rois_per_batch, 5)  [level_idx, x1, y1, x2, y2]
+      labels (rois_per_batch,)    int32
+      bbox_targets / bbox_inside_weights / bbox_outside_weights
+             (rois_per_batch, 4*n_classes)
+      roi_valid (rois_per_batch,) bool — padded roi slots masked out
+    """
+    import optax
+
+    from mv3d_tf_tpu.models import vggnet
+    from mv3d_tf_tpu.ops.roi_pool import roi_pool
+    from mv3d_tf_tpu.train import _masked_mean, smooth_l1
+
+    schedule = optax.exponential_decay(lr, stepsize, gamma, staircase=True)
+    tx = optax.sgd(schedule, momentum=momentum)
+    del n_levels, bucket_hw  # shapes come from the traced batch
+
+    def forward(params, batch, key):
+        c5 = vggnet.trunk_apply_2d(params, batch["data"],
+                                   dtype=compute_dtype)
+        pooled = roi_pool(c5, batch["rois"], spatial_scale=1.0 / 16,
+                          max_in_h=batch["data"].shape[1],
+                          max_in_w=batch["data"].shape[2])
+        cls_score, _, bbox_pred = vggnet.head_2d(
+            params, pooled.astype(jnp.float32), keep_prob=keep_prob,
+            rng=key, train=True)
+        rvalid = batch["roi_valid"].astype(jnp.float32)
+        rce = optax.softmax_cross_entropy_with_integer_labels(
+            cls_score.astype(jnp.float32), batch["labels"])
+        cross_entropy = _masked_mean(rce, rvalid)
+        diff = batch["bbox_inside_weights"] * (
+            bbox_pred.astype(jnp.float32) - batch["bbox_targets"])
+        loss_box = _masked_mean(
+            jnp.sum(batch["bbox_outside_weights"] * smooth_l1(diff),
+                    axis=1), rvalid)
+        total = cross_entropy + loss_box
+        return {"loss": total, "cross_entropy": cross_entropy,
+                "loss_box": loss_box}
+
+    @jax.jit
+    def train_step(params, opt_state, batch, key):
+        def loss_fn(p):
+            m = forward(p, batch, key)
+            return m["loss"], m
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+        grads = vggnet.freeze_2d_grads(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax as _optax
+        params = _optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return train_step, tx
+
+
 def snapshot_unnormalize_2d(params, means=(0., 0., 0., 0.),
                             stds=(0.1, 0.1, 0.2, 0.2), n_classes=21):
     """Fold the bbox-target normalization back into bbox_pred weights at
@@ -323,8 +389,14 @@ def snapshot_unnormalize_2d(params, means=(0., 0., 0., 0.),
     (train.py:44-80). Returns a NEW params pytree."""
     w = np.asarray(params["bbox_pred"]["weights"])
     b = np.asarray(params["bbox_pred"]["biases"])
-    stds_t = np.tile(np.asarray(stds), n_classes)
-    means_t = np.tile(np.asarray(means), n_classes)
+    # accept either per-coord (4,) stats (tiled across classes, the
+    # BBOX_NORMALIZE_MEANS/STDS config form) or full per-class (4K,)
+    # vectors (the add_bbox_regression_targets return form)
+    means = np.asarray(means)
+    stds = np.asarray(stds)
+    stds_t = stds if stds.size == w.shape[1] else np.tile(stds, n_classes)
+    means_t = (means if means.size == w.shape[1]
+               else np.tile(means, n_classes))
     out = dict(params)
     out["bbox_pred"] = {"weights": w * stds_t[None, :],
                         "biases": b * stds_t + means_t}

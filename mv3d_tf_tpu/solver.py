@@ -202,13 +202,85 @@ def _prep_image_2d(path, bucket_hw, target_size=None, max_size=None):
     return out, np.array([h, w, scale], np.float32)
 
 
+def train_net_fast_rcnn(imdb, roidb, output_dir, pretrained_model=None,
+                        max_iters=10000, compute_dtype=None, seed=None,
+                        bucket_hw=(608, 1024), ims_per_batch=2, log=print):
+    """Fast R-CNN training over PRECOMPUTED proposals — the reference's
+    HAS_RPN=False branch (minibatch2.py:16-96) incl. the IS_MULTISCALE
+    image-pyramid mode: roidb must carry proposal boxes (e.g. from
+    PascalVOC.region_proposal_roidb / selective_search_roidb) enriched
+    by multiscale.add_bbox_regression_targets."""
+    from mv3d_tf_tpu.data import multiscale as ms
+    from mv3d_tf_tpu.faster_rcnn_2d import (build_fast_rcnn_train_step,
+                                            snapshot_unnormalize_2d)
+
+    key = jax.random.PRNGKey(cfg.RNG_SEED if seed is None else seed)
+    key, k_init = jax.random.split(key)
+    from mv3d_tf_tpu.models import vggnet
+    params = vggnet.init_params_2d(k_init, n_classes=imdb.num_classes)
+    if pretrained_model is not None:
+        params = load_pretrained(params, pretrained_model)
+
+    means, stds = ms.add_bbox_regression_targets(roidb, imdb.num_classes)
+    n_levels = (len(cfg.TRAIN.SCALES_BASE) if cfg.IS_MULTISCALE else 1) \
+        * ims_per_batch
+    step, tx = build_fast_rcnn_train_step(
+        n_levels, bucket_hw, lr=cfg.TRAIN.LEARNING_RATE,
+        momentum=cfg.TRAIN.MOMENTUM, stepsize=cfg.TRAIN.STEPSIZE,
+        gamma=cfg.TRAIN.GAMMA, rois_per_batch=cfg.TRAIN.BATCH_SIZE,
+        n_classes=imdb.num_classes, compute_dtype=compute_dtype)
+    opt_state = tx.init(params)
+
+    rng = np.random.RandomState(cfg.RNG_SEED)
+    perm = rng.permutation(len(roidb))
+    cur = 0
+    timer = Timer()
+    for it in range(max_iters):
+        if cur + ims_per_batch > len(perm):
+            perm = rng.permutation(len(roidb))
+            cur = 0
+        entries = [roidb[perm[cur + j]] for j in range(ims_per_batch)]
+        cur += ims_per_batch
+        blobs = ms.get_minibatch_multiscale(entries, imdb.num_classes,
+                                            rng=rng)
+        batch = ms.pad_minibatch_multiscale(blobs, bucket_hw,
+                                            cfg.TRAIN.BATCH_SIZE)
+        key, k_step = jax.random.split(key)
+        timer.tic()
+        params, opt_state, m = step(params, opt_state, batch, k_step)
+        jax.block_until_ready(m)
+        timer.toc()
+        if (it + 1) % cfg.TRAIN.DISPLAY == 0:
+            log("iter: %d / %d, total loss: %.4f (%.3fs/iter)"
+                % (it + 1, max_iters, float(m["loss"]),
+                   timer.average_time))
+        if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
+            save_checkpoint(output_dir, it + 1,
+                            snapshot_unnormalize_2d(params, means, stds,
+                                                    imdb.num_classes),
+                            opt_state)
+    save_checkpoint(output_dir, max_iters,
+                    snapshot_unnormalize_2d(params, means, stds,
+                                            imdb.num_classes), opt_state)
+    return params
+
+
 def train_net_2d(imdb, roidb, output_dir, pretrained_model=None,
                  max_iters=10000, compute_dtype=None, seed=None,
                  bucket_hw=(608, 1024), max_gt=32, log=print):
     """Train the legacy 2D Faster R-CNN (momentum SGD, staircase lr decay,
     frozen conv1/conv2, bbox-normalized targets; snapshot unnormalizes
     bbox_pred like train.py:44-80). Images scale via prep_im_for_blob and
-    pad to a static bucket (TPU shapes must be fixed)."""
+    pad to a static bucket (TPU shapes must be fixed).
+
+    With cfg.TRAIN.HAS_RPN=False (the config default; the end2end YAML
+    turns it on) training runs over precomputed proposals instead —
+    train_net_fast_rcnn, incl. the IS_MULTISCALE pyramid mode."""
+    if not cfg.TRAIN.HAS_RPN:
+        return train_net_fast_rcnn(
+            imdb, roidb, output_dir, pretrained_model=pretrained_model,
+            max_iters=max_iters, compute_dtype=compute_dtype, seed=seed,
+            bucket_hw=bucket_hw, log=log)
     from mv3d_tf_tpu.faster_rcnn_2d import (build_train_step_2d,
                                             snapshot_unnormalize_2d)
     from mv3d_tf_tpu.models import vggnet

@@ -135,3 +135,45 @@ def test_kitti_raw(tmp_path):
     np.testing.assert_allclose(e["boxes_3D"][0, :3], [20, 3, -0.8], atol=1e-4)
     np.testing.assert_allclose(e["boxes_3D"][0, 3:], [4.0, 1.6, 1.5],
                                atol=1e-4)
+
+
+def test_pascal_voc_region_proposal_roidb(voc_root, monkeypatch, tmp_path):
+    """pascal_voc2.py:432-500 parity: txt proposals merged with gt."""
+    from mv3d_tf_tpu.config import cfg
+    monkeypatch.setattr(cfg, "DATA_DIR", str(tmp_path / "cache_root"))
+    monkeypatch.setattr(cfg, "REGION_PROPOSAL", "RPN")
+    rp = (tmp_path / "VOCdevkit" / "region_proposals" / "RPN" / "training")
+    rp.mkdir(parents=True)
+    # 3 proposals, one degenerate (x2<=x1) that must be dropped
+    (rp / "000001.txt").write_text(
+        "10 20 60 80 0.9\n5 5 50 50 0.4\n30 30 20 40 0.8\n")
+    db = PascalVOC("train", "2007", voc_root)
+    roidb = db.region_proposal_roidb()
+    assert len(roidb) == 1
+    # 2 kept proposals + 1 gt (difficult excluded) merged
+    assert roidb[0]["boxes"].shape == (3, 4)
+    # proposal rows carry overlap-vs-gt, gt row is one-hot
+    assert roidb[0]["gt_overlaps"].max() == 1.0
+    assert (roidb[0]["gt_classes"] > 0).sum() == 1
+
+
+def test_pascal_voc_selective_search_roidb(voc_root, monkeypatch, tmp_path):
+    """pascal_voc2.py:502-543 parity: .mat boxes [y1 x1 y2 x2] 1-based."""
+    import scipy.io as sio
+    from mv3d_tf_tpu.config import cfg
+    monkeypatch.setattr(cfg, "DATA_DIR", str(tmp_path / "cache_root"))
+    ss = tmp_path / "VOCdevkit" / "selective_search_data"
+    ss.mkdir(parents=True)
+    boxes = np.array([[21, 11, 81, 61], [6, 6, 51, 51]], np.float64)
+    cell = np.empty((1, 1), object)
+    cell[0, 0] = boxes
+    sio.savemat(str(ss / "voc_2007_train.mat"), {"boxes": cell})
+    db = PascalVOC("train", "2007", voc_root)
+    roidb = db.selective_search_roidb()
+    # [y1 x1 y2 x2] 1-based -> [x1 y1 x2 y2] 0-based; first box == gt box
+    np.testing.assert_array_equal(roidb[0]["boxes"][0], [10, 20, 60, 80])
+    assert roidb[0]["gt_overlaps"][0].max() == pytest.approx(1.0)
+    # proposal recall helper: perfect proposal set -> recall 1.0
+    all_boxes = [[[] for _ in range(1)] for _ in range(db.num_classes)]
+    all_boxes[7][0] = np.array([[10, 20, 60, 80, 0.9]], np.float32)
+    assert db.evaluate_proposals(all_boxes) == pytest.approx(1.0)

@@ -13,6 +13,7 @@ def params_2d():
     return vggnet.init_params_2d(jax.random.PRNGKey(0), n_classes=21)
 
 
+@pytest.mark.slow
 def test_im_proposals_shapes_and_unproject(params_2d, monkeypatch):
     from mv3d_tf_tpu import rpn_generate
     monkeypatch.setattr(cfg.TEST, "SCALES_BASE", (1.0,))
@@ -38,6 +39,7 @@ def test_im_proposals_shapes_and_unproject(params_2d, monkeypatch):
     assert boxes2[:, 2].max() <= 64 - 0.5  # unprojected by /2
 
 
+@pytest.mark.slow
 def test_imdb_proposals_iterates(params_2d, tmp_path, monkeypatch):
     from PIL import Image
     from mv3d_tf_tpu import rpn_generate

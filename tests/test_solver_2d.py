@@ -63,6 +63,10 @@ def test_train_and_test_2d_end_to_end(voc_root, tmp_path, monkeypatch):
     monkeypatch.setattr(cfg.TEST, "RPN_PRE_NMS_TOP_N", 60)
     monkeypatch.setattr(cfg.TEST, "RPN_POST_NMS_TOP_N", 12)
     monkeypatch.setattr(cfg.TRAIN, "BATCH_SIZE", 8)
+    # end-to-end RPN training needs HAS_RPN, like the reference's
+    # faster_rcnn_end2end.yml (the config default False means Fast R-CNN
+    # over precomputed proposals — solver.train_net_fast_rcnn)
+    monkeypatch.setattr(cfg.TRAIN, "HAS_RPN", True)
 
     imdb = get_imdb("voc_2007_train", devkit_path=voc_root)
     roidb = imdb.roidb
