@@ -66,6 +66,11 @@ def train_net(imdb, roidb, output_dir, pretrained_model=None,
             start_iter = int(snap.rsplit("_iter_", 1)[1])
             log("Resumed from {} (iter {})".format(snap, start_iter))
 
+    # Pin params/opt state on device — host numpy leaves (pretrained .npy
+    # import, checkpoint load) would otherwise re-transfer every step.
+    params = jax.device_put(params)
+    opt_state = jax.device_put(opt_state)
+
     data_layer = RoIDataLayer(roidb, imdb.num_classes)
 
     if cfg.TRAIN.DEBUG_TIMELINE and trace_dir is None:
@@ -131,6 +136,10 @@ def test_net(params, imdb, weights_filename="default", max_per_image=300,
     all_boxes = [[[] for _ in range(num_images)] for _ in range(k)]
     all_boxes_cnr = [[[] for _ in range(num_images)] for _ in range(k)]
     output_dir = get_output_dir(imdb, weights_filename)
+
+    # Host-resident (numpy) params would re-transfer ~500 MB per detect
+    # call over the device tunnel (~26 s/frame observed) — pin them once.
+    params = jax.device_put(params)
 
     detect = detect_fn if detect_fn is not None else build_detect_fn(
         pre_nms_top_n=cfg.TEST.RPN_PRE_NMS_TOP_N,
@@ -230,6 +239,8 @@ def train_net_fast_rcnn(imdb, roidb, output_dir, pretrained_model=None,
         gamma=cfg.TRAIN.GAMMA, rois_per_batch=cfg.TRAIN.BATCH_SIZE,
         n_classes=imdb.num_classes, compute_dtype=compute_dtype)
     opt_state = tx.init(params)
+    params = jax.device_put(params)
+    opt_state = jax.device_put(opt_state)
 
     rng = np.random.RandomState(cfg.RNG_SEED)
     perm = rng.permutation(len(roidb))
@@ -301,6 +312,8 @@ def train_net_2d(imdb, roidb, output_dir, pretrained_model=None,
         n_classes=imdb.num_classes, compute_dtype=compute_dtype,
         bbox_normalize=cfg.TRAIN.BBOX_NORMALIZE_TARGETS_PRECOMPUTED)
     opt_state = tx.init(params)
+    params = jax.device_put(params)
+    opt_state = jax.device_put(opt_state)
 
     rng = np.random.RandomState(cfg.RNG_SEED)
     perm = rng.permutation(len(roidb))
@@ -370,6 +383,7 @@ def test_net_2d(params, imdb, weights_filename="default", max_per_image=100,
         post_nms_top_n=cfg.TEST.RPN_POST_NMS_TOP_N,
         compute_dtype=compute_dtype, n_classes=k)
 
+    params = jax.device_put(params)
     timer = Timer()
     for i in range(num_images):
         image, im_info = _prep_image_2d(imdb.image_path_at(i), bucket_hw,

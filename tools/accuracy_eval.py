@@ -99,6 +99,7 @@ def main():
 
     # --- train/eval trajectory ----------------------------------------------
     def run_eval(params, tag):
+        print("[eval {}] starting".format(tag), flush=True)
         t0 = time.time()
         all_boxes, all_cnr = solver.test_net(
             params, val_imdb, weights_filename="accuracy_" + tag,
