@@ -121,7 +121,7 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
             lambda p, d, c: proposal_layer_3d(
                 p[None], d[None], c, feat_h, feat_w,
                 pre_nms_top_n=pre_nms_top_n, post_nms_top_n=post_nms_top_n,
-                nms_thresh=rpn_nms_thresh)
+                nms_thresh=rpn_nms_thresh, nms_impl="blocked")
         )(prob, rpn_box.astype(jnp.float32), calib)
 
         P = post_nms_top_n

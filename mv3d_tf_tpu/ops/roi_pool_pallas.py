@@ -91,9 +91,14 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
         (R,), jnp.int32))[None, :]
 
     # channel-tile the grid so the double-buffered feature block stays
-    # under the 16 MB VMEM budget (bf16 fast path uses wider tiles to
-    # halve the grid-step count; f32 stays at 128)
+    # under the 16 MB VMEM budget; prefer the widest tile that fits
+    # (fewer per-roi passes): BEV 75x80x512 bf16 fits whole (12.3 MB),
+    # the image view (48x160) drops to 256.
+    budget = 13 * 1024 * 1024
     CT = min(C, 256 if dtype == jnp.bfloat16 else 128)
+    if (dtype == jnp.bfloat16 and C % 512 == 0
+            and 2 * H * W_pad * 512 * 2 <= budget):
+        CT = min(C, 512)
     if C % CT != 0:
         CT = min(C, 128)
     assert C % CT == 0

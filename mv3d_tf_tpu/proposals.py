@@ -32,12 +32,13 @@ IMG_PAD = 50.0
 @functools.partial(
     jax.jit,
     static_argnames=("feat_h", "feat_w", "feat_stride", "pre_nms_top_n",
-                     "post_nms_top_n", "min_size", "im_h", "im_w"))
+                     "post_nms_top_n", "min_size", "im_h", "im_w",
+                     "nms_impl"))
 def proposal_layer_3d(rpn_cls_prob, rpn_bbox_pred, calib,
                       feat_h, feat_w, feat_stride=8,
                       pre_nms_top_n=12000, post_nms_top_n=2000,
                       nms_thresh=0.7, min_size=5, im_h=601, im_w=601,
-                      im_scale=1.0):
+                      im_scale=1.0, nms_impl="auto"):
     """One frame: RPN outputs -> fixed-size proposal blobs.
 
     Args:
@@ -93,7 +94,11 @@ def proposal_layer_3d(rpn_cls_prob, rpn_bbox_pred, calib,
     #     2000 sequential fori steps would dominate the train step; the
     #     blocked version resolves 512 candidates per scan step and is
     #     stable inside the large fused train/detect graphs.
-    if post_nms_top_n <= 512:
+    # nms_impl="blocked" forces the blocked scan regardless of size —
+    # callers embedding this layer in a LARGE fused graph (the batched
+    # detect path) use it for the extra ~3 ms/batch-8; small standalone
+    # programs must keep the fori path (TPU worker crash, see above).
+    if post_nms_top_n <= 512 and nms_impl != "blocked":
         keep_idx, keep_valid = nms(bv, psc, top_valid, post_nms_top_n,
                                    nms_thresh)
     else:
