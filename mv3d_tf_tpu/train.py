@@ -156,7 +156,11 @@ def build_train_step(feat_h=75, feat_w=75, pre_nms_top_n=12000,
         rois_per_image=rois_per_image, keep_prob=keep_prob,
         compute_dtype=compute_dtype)
 
-    @jax.jit
+    # params + opt state (~1.5 GB f32) are donated: the updated pytrees
+    # reuse the input buffers in place instead of allocating fresh HBM
+    # every iteration. Callers must rebind (p, o = step(p, o, ...)) —
+    # every solver loop does; reusing the old arrays raises.
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, key):
         def loss_fn(p):
             m = forward_losses(p, batch, key)

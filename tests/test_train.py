@@ -87,18 +87,26 @@ def test_train_step_end_to_end(rng):
     params = mv3d.init_params(jax.random.PRNGKey(0))
     step, tx = build_train_step(feat_h=10, feat_w=10, pre_nms_top_n=100,
                                 post_nms_top_n=30, rois_per_image=16)
-    opt_state = tx.init(params)
     batch = _batch(rng)
-    p1, o1, m1 = step(params, opt_state, batch, jax.random.PRNGKey(1))
+
+    # train_step donates params/opt_state (train.py) — each call needs
+    # fresh pytrees, and pre-step values must be snapshotted to host
+    def fresh():
+        p = jax.tree.map(jnp.array, params)
+        return p, tx.init(p)
+
+    w_before = np.asarray(params["rpn_conv/3x3"]["weights"]).copy()
+    p_in, o_in = fresh()
+    p1, o1, m1 = step(p_in, o_in, batch, jax.random.PRNGKey(1))
     for k, v in m1.items():
         assert np.isfinite(float(v)), k
     assert float(m1["loss"]) > 0
     # params actually moved
-    d = np.abs(np.asarray(p1["rpn_conv/3x3"]["weights"])
-               - np.asarray(params["rpn_conv/3x3"]["weights"])).max()
+    d = np.abs(np.asarray(p1["rpn_conv/3x3"]["weights"]) - w_before).max()
     assert d > 0
     # determinism: same key + inputs -> same metrics
-    _, _, m2 = step(params, opt_state, batch, jax.random.PRNGKey(1))
+    p_in, o_in = fresh()
+    _, _, m2 = step(p_in, o_in, batch, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
     # second step decreases nothing catastrophically (finite)
     p2, o2, m3 = step(p1, o1, batch, jax.random.PRNGKey(2))
