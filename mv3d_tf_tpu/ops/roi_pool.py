@@ -169,6 +169,55 @@ def roi_pool_fast(feat, rois, pooled=7, spatial_scale=1.0 / 8,
                     max_in_h=max_in_h, max_in_w=max_in_w, chunk=chunk)
 
 
+@functools.lru_cache(maxsize=None)
+def _make_roi_pool_cvjp(pooled, spatial_scale, max_in_h, max_in_w,
+                        interpret=False):
+    """custom_vjp ROI pool: Pallas forward + Pallas equality-replay
+    backward (see roi_pool_pallas_bwd for tie semantics)."""
+    from mv3d_tf_tpu.ops.roi_pool_pallas import (roi_pool_pallas,
+                                                 roi_pool_pallas_bwd)
+
+    @jax.custom_vjp
+    def f(feat, rois):
+        return roi_pool_pallas(feat, rois, pooled=pooled,
+                               spatial_scale=spatial_scale,
+                               max_in_h=max_in_h, max_in_w=max_in_w,
+                               interpret=interpret)
+
+    def f_fwd(feat, rois):
+        out = f(feat, rois)
+        return out, (feat, rois, out)
+
+    def f_bwd(res, dy):
+        feat, rois, out = res
+        dfeat = roi_pool_pallas_bwd(feat, rois, out, dy, pooled=pooled,
+                                    spatial_scale=spatial_scale,
+                                    max_in_h=max_in_h, max_in_w=max_in_w,
+                                    interpret=interpret)
+        return dfeat.astype(feat.dtype), jnp.zeros_like(rois)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def roi_pool_train(feat, rois, pooled=7, spatial_scale=1.0 / 8,
+                   max_in_h=None, max_in_w=None):
+    """Differentiable ROI pool for the single-frame train path.
+
+    On TPU: Pallas forward + Pallas equality-replay backward via
+    custom_vjp — the XLA gather formulation's autodiff backward
+    materializes mb_h+mb_w scatter-add slabs and costs ~50 ms/step at
+    full size (measured); the replay kernel is ~ the forward's cost.
+    On CPU (tests, fallback): the XLA formulation with plain autodiff.
+    """
+    if jax.default_backend() == "cpu":
+        return roi_pool(feat, rois, pooled=pooled,
+                        spatial_scale=spatial_scale,
+                        max_in_h=max_in_h, max_in_w=max_in_w)
+    return _make_roi_pool_cvjp(pooled, spatial_scale, max_in_h,
+                               max_in_w)(feat, rois)
+
+
 def roi_pool_np(feat, rois, pooled=7, spatial_scale=1.0 / 8):
     """Direct numpy transliteration of the CUDA loops (test oracle).
 

@@ -177,3 +177,118 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
         interpret=interpret,
     )(bidx, hstart, hend, wstart, wend, feat)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("pooled", "spatial_scale",
+                                             "max_in_h", "max_in_w",
+                                             "interpret"))
+def roi_pool_pallas_bwd(feat, rois, out, dy, pooled=7, spatial_scale=1.0 / 8,
+                        max_in_h=None, max_in_w=None, interpret=False):
+    """Gradient of ROI max-pooling w.r.t. the feature map, single frame.
+
+    The CUDA backward replays the forward argmax
+    (roi_pooling_op_gpu.cu.cc:113-190); here the max position is
+    RECOMPUTED by equality — dy[r,ph,pw,c] flows to every in-bin cell
+    whose value equals the pooled output. Tie semantics: exact-duplicate
+    values within one bin each receive the full cotangent (the CUDA
+    kernel picks the first; ties are measure-zero for f32 activations
+    and rare for bf16). Overlapping rois/bins sum, matching scatter-add.
+
+    feat (H, W, C), rois (R, 5), out/dy (R, pooled, pooled, C); returns
+    dfeat (H, W, C) float32.
+    """
+    H, W, C = feat.shape
+    R = rois.shape[0]
+    dtype = feat.dtype
+
+    W_pad = -(-W // 8) * 8
+    if W_pad != W:
+        feat = jnp.pad(feat, ((0, 0), (0, W_pad - W), (0, 0)))
+
+    span_h = (max_in_h if max_in_h is not None else H / spatial_scale)
+    span_w = (max_in_w if max_in_w is not None else W / spatial_scale)
+    mb_w = min(W, -(-(int(round(span_w * spatial_scale)) + 1) // pooled) + 2)
+
+    hstart, hend, wstart, wend = _bin_bounds(rois, pooled, spatial_scale,
+                                             H, W)
+    hstart, hend = hstart.T, hend.T
+    wstart, wend = wstart.T, wend.T
+
+    CT = min(C, 128)
+    assert C % CT == 0
+    # chunk rois over the grid: the dfeat block keeps the SAME index for
+    # every roi-step, so it stays VMEM-resident and accumulates across
+    # steps while the (RB,7,7,CT) out/dy blocks stream in — the whole
+    # working set stays under the 16 MB scoped-vmem budget
+    RB = 32 if R % 32 == 0 else (8 if R % 8 == 0 else 1)
+    WIN = min(W_pad, ((mb_w + 7 + 8) // 8) * 8)
+
+    dy = dy.astype(jnp.float32)
+
+    def kernel(hs_ref, he_ref, ws_ref, we_ref, feat_ref, out_ref, dy_ref,
+               dfeat_ref):
+        rstep = pl.program_id(1)
+
+        @pl.when(rstep == 0)
+        def _():
+            dfeat_ref[...] = jnp.zeros((H, W_pad, CT), jnp.float32)
+
+        iota_win = jax.lax.broadcasted_iota(jnp.int32, (WIN, 1), 0)
+
+        def roi_body(rr, _):
+            r = rstep * RB + rr
+            for ph in range(pooled):
+                h0 = hs_ref[ph, r]
+                h1 = he_ref[ph, r]
+
+                def h_body(h, _):
+                    for pw in range(pooled):
+                        w0 = ws_ref[pw, r]
+                        w1 = we_ref[pw, r]
+                        base = jnp.clip((w0 // 8) * 8, 0, W_pad - WIN)
+                        bal = pl.multiple_of(base, 8)
+                        win = feat_ref[h, pl.ds(bal, WIN), :]  # (WIN, CT)
+                        off = iota_win + base
+                        mask = (off >= w0) & (off < w1)
+                        o = out_ref[rr, ph, pw:pw + 1, :]   # (1, CT)
+                        d = dy_ref[rr, ph, pw:pw + 1, :]    # (1, CT) f32
+                        # boolean ops between broadcast shapes trip a
+                        # Mosaic i1-relayout bug — build the equality
+                        # indicator in f32 arithmetic: 1 - sign(|diff|)
+                        diff = win.astype(jnp.float32) - o.astype(
+                            jnp.float32)
+                        eqf = 1.0 - jnp.sign(jnp.abs(diff))
+                        contrib = d * eqf * mask.astype(jnp.float32)
+                        dfeat_ref[h, pl.ds(bal, WIN), :] = (
+                            dfeat_ref[h, pl.ds(bal, WIN), :] + contrib)
+                    return 0
+
+                jax.lax.fori_loop(h0, h1, h_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, RB, roi_body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(C // CT, R // RB),
+        in_specs=[
+            pl.BlockSpec((H, W_pad, CT), lambda c, r, *_: (0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, pooled, pooled, CT),
+                         lambda c, r, *_: (r, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, pooled, pooled, CT),
+                         lambda c, r, *_: (r, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H, W_pad, CT), lambda c, r, *_: (0, 0, c),
+                               memory_space=pltpu.VMEM),
+    )
+
+    dfeat = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, W_pad, C), jnp.float32),
+        interpret=interpret,
+    )(hstart, hend, wstart, wend, feat, out.astype(dtype), dy)
+    return dfeat[:, :W, :]

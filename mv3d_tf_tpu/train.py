@@ -29,7 +29,7 @@ import optax
 
 from mv3d_tf_tpu.eval import PIXEL_MEANS
 from mv3d_tf_tpu.models import mv3d
-from mv3d_tf_tpu.ops.roi_pool import roi_pool
+from mv3d_tf_tpu.ops.roi_pool import roi_pool, roi_pool_train
 from mv3d_tf_tpu.proposals import IMG_BOUNDS, IMG_PAD, proposal_layer_3d
 from mv3d_tf_tpu.targets import anchor_target_layer, proposal_target_layer_3d
 
@@ -89,10 +89,13 @@ def compute_losses(rpn_cls_score, rpn_bbox_pred, rpn_labels, rpn_bbox_targets,
 def build_forward_losses(feat_h=75, feat_w=75, pre_nms_top_n=12000,
                          post_nms_top_n=2000, rpn_nms_thresh=0.7,
                          rois_per_image=128, keep_prob=0.5,
-                         compute_dtype=None):
+                         compute_dtype=None, pool_impl="train"):
     """Per-frame forward + 4-term loss as a pure function
     (params, batch, key) -> metrics dict.  vmap-able over frames for
-    data-parallel training (parallel/mesh.py)."""
+    data-parallel training (parallel/mesh.py — which passes
+    pool_impl="xla": the Pallas custom-vjp pool is single-frame and is
+    not exercised under vmap/shard_map)."""
+    pool = roi_pool_train if pool_impl == "train" else roi_pool
     max_img_h = int(IMG_BOUNDS[0] + 2 * IMG_PAD + 10)
     max_img_w = int(IMG_BOUNDS[1] + 2 * IMG_PAD + 10)
 
@@ -121,10 +124,10 @@ def build_forward_losses(feat_h=75, feat_w=75, pre_nms_top_n=12000,
             batch["gt_boxes_corners"], batch["calib"],
             rois_per_image=rois_per_image)
 
-        pooled_bv = roi_pool(c5[0], roi_data["rois_bv"], spatial_scale=1. / 8)
-        pooled_img = roi_pool(c5_2[0], roi_data["rois_img"],
-                              spatial_scale=1. / 8,
-                              max_in_h=max_img_h, max_in_w=max_img_w)
+        pooled_bv = pool(c5[0], roi_data["rois_bv"], spatial_scale=1. / 8)
+        pooled_img = pool(c5_2[0], roi_data["rois_img"],
+                          spatial_scale=1. / 8,
+                          max_in_h=max_img_h, max_in_w=max_img_w)
         cls_score, _, bbox_pred = mv3d.fusion_head(
             params, pooled_bv.astype(jnp.float32),
             pooled_img.astype(jnp.float32),

@@ -137,3 +137,36 @@ def test_roi_pool_chunked_matches(rng):
     a = np.asarray(roi_pool(feat, rois, spatial_scale=1 / 8))
     b = np.asarray(roi_pool(feat, rois, spatial_scale=1 / 8, chunk=16))
     np.testing.assert_array_equal(a, b)
+
+
+def test_custom_vjp_grad_matches_xla(rng):
+    """Pallas equality-replay backward == XLA autodiff backward on
+    distinct-valued features (interpret mode; ties absent by
+    construction so the tie-semantics divergence cannot trigger)."""
+    import jax
+
+    from mv3d_tf_tpu.ops.roi_pool import _make_roi_pool_cvjp, roi_pool
+
+    H, W, C = 20, 28, 8
+    feat = jnp.asarray(
+        rng.permutation(H * W * C).reshape(H, W, C).astype(np.float32))
+    rois = jnp.asarray(np.array([
+        [0, 8, 16, 120, 150],
+        [0, 0, 0, 30, 40],
+        [0, 100, 60, 200, 140],
+        [0, 215, 150, 223, 159],   # right/bottom edge
+    ], np.float32))
+    dy = jnp.asarray(rng.rand(4, 7, 7, C).astype(np.float32))
+
+    def loss_xla(f):
+        return jnp.sum(roi_pool(f, rois, spatial_scale=1.0 / 8) * dy)
+
+    cvjp = _make_roi_pool_cvjp(7, 1.0 / 8, None, None, interpret=True)
+
+    def loss_pallas(f):
+        return jnp.sum(cvjp(f, rois) * dy)
+
+    g_xla = np.asarray(jax.grad(loss_xla)(feat))
+    g_pal = np.asarray(jax.grad(loss_pallas)(feat))
+    np.testing.assert_allclose(g_pal, g_xla, rtol=1e-6, atol=1e-6)
+    assert np.abs(g_xla).sum() > 0
