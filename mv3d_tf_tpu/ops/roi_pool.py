@@ -159,7 +159,7 @@ def roi_pool_fast(feat, rois, pooled=7, spatial_scale=1.0 / 8,
     rois_per_step: Pallas-path roi-block size (see roi_pool_pallas);
     callers must pick a divisor of their per-frame roi count."""
     import jax as _jax
-    if _jax.default_backend() != "cpu":
+    if _jax.default_backend() in ("tpu", "axon"):
         from mv3d_tf_tpu.ops.roi_pool_pallas import roi_pool_pallas
         return roi_pool_pallas(feat, rois, pooled=pooled,
                                spatial_scale=spatial_scale,
@@ -208,9 +208,10 @@ def roi_pool_train(feat, rois, pooled=7, spatial_scale=1.0 / 8,
     custom_vjp — the XLA gather formulation's autodiff backward
     materializes mb_h+mb_w scatter-add slabs and costs ~50 ms/step at
     full size (measured); the replay kernel is ~ the forward's cost.
-    On CPU (tests, fallback): the XLA formulation with plain autodiff.
+    On any non-TPU backend (tests, fallback): the XLA formulation with
+    plain autodiff.
     """
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() not in ("tpu", "axon"):
         return roi_pool(feat, rois, pooled=pooled,
                         spatial_scale=spatial_scale,
                         max_in_h=max_in_h, max_in_w=max_in_w)

@@ -188,11 +188,15 @@ def roi_pool_pallas_bwd(feat, rois, out, dy, pooled=7, spatial_scale=1.0 / 8,
 
     The CUDA backward replays the forward argmax
     (roi_pooling_op_gpu.cu.cc:113-190); here the max position is
-    RECOMPUTED by equality — dy[r,ph,pw,c] flows to every in-bin cell
-    whose value equals the pooled output. Tie semantics: exact-duplicate
-    values within one bin each receive the full cotangent (the CUDA
-    kernel picks the first; ties are measure-zero for f32 activations
-    and rare for bf16). Overlapping rois/bins sum, matching scatter-add.
+    RECOMPUTED by equality — dy[r,ph,pw,c] flows to the in-bin cells
+    whose value equals the pooled output, DIVIDED by the number of such
+    cells (even split among ties). Ties are common in practice: sparse
+    post-ReLU feature maps produce all-zero bins where every cell equals
+    the max, so flowing the full cotangent to each (the naive replay)
+    would multiply the gradient by the bin area. Even splitting matches
+    jnp.max's transpose; the CUDA kernel picks the first argmax instead —
+    both conserve the total cotangent mass per bin. Overlapping
+    rois/bins sum, matching scatter-add.
 
     feat (H, W, C), rois (R, 5), out/dy (R, pooled, pooled, C); returns
     dfeat (H, W, C) float32.
@@ -226,7 +230,7 @@ def roi_pool_pallas_bwd(feat, rois, out, dy, pooled=7, spatial_scale=1.0 / 8,
     dy = dy.astype(jnp.float32)
 
     def kernel(hs_ref, he_ref, ws_ref, we_ref, feat_ref, out_ref, dy_ref,
-               dfeat_ref):
+               dfeat_ref, cnt_ref):
         rstep = pl.program_id(1)
 
         @pl.when(rstep == 0)
@@ -235,30 +239,50 @@ def roi_pool_pallas_bwd(feat, rois, out, dy, pooled=7, spatial_scale=1.0 / 8,
 
         iota_win = jax.lax.broadcasted_iota(jnp.int32, (WIN, 1), 0)
 
+        def bin_indicator(h, rr, ph, pw, r):
+            """(eqf*mask, base) for bin (ph,pw) of roi rr at feature row
+            h — 1.0 where the cell ties the pooled max, else 0.0."""
+            w0 = ws_ref[pw, r]
+            w1 = we_ref[pw, r]
+            base = jnp.clip((w0 // 8) * 8, 0, W_pad - WIN)
+            bal = pl.multiple_of(base, 8)
+            win = feat_ref[h, pl.ds(bal, WIN), :]  # (WIN, CT)
+            off = iota_win + base
+            mask = (off >= w0) & (off < w1)
+            o = out_ref[rr, ph, pw:pw + 1, :]   # (1, CT)
+            # boolean ops between broadcast shapes trip a Mosaic
+            # i1-relayout bug — build the equality indicator in f32
+            # arithmetic: 1 - sign(|diff|)
+            diff = win.astype(jnp.float32) - o.astype(jnp.float32)
+            eqf = 1.0 - jnp.sign(jnp.abs(diff))
+            return eqf * mask.astype(jnp.float32), bal
+
         def roi_body(rr, _):
             r = rstep * RB + rr
             for ph in range(pooled):
                 h0 = hs_ref[ph, r]
                 h1 = he_ref[ph, r]
 
+                # pass 1: per-bin tie count (cells equal to the max)
+                cnt_ref[...] = jnp.zeros((8, CT), jnp.float32)
+
+                def cnt_body(h, _):
+                    for pw in range(pooled):
+                        ind, _bal = bin_indicator(h, rr, ph, pw, r)
+                        cnt_ref[pw, :] = cnt_ref[pw, :] + jnp.sum(
+                            ind, axis=0)
+                    return 0
+
+                jax.lax.fori_loop(h0, h1, cnt_body, 0)
+
+                # pass 2: distribute dy/count to each tying cell
                 def h_body(h, _):
                     for pw in range(pooled):
-                        w0 = ws_ref[pw, r]
-                        w1 = we_ref[pw, r]
-                        base = jnp.clip((w0 // 8) * 8, 0, W_pad - WIN)
-                        bal = pl.multiple_of(base, 8)
-                        win = feat_ref[h, pl.ds(bal, WIN), :]  # (WIN, CT)
-                        off = iota_win + base
-                        mask = (off >= w0) & (off < w1)
-                        o = out_ref[rr, ph, pw:pw + 1, :]   # (1, CT)
+                        ind, bal = bin_indicator(h, rr, ph, pw, r)
                         d = dy_ref[rr, ph, pw:pw + 1, :]    # (1, CT) f32
-                        # boolean ops between broadcast shapes trip a
-                        # Mosaic i1-relayout bug — build the equality
-                        # indicator in f32 arithmetic: 1 - sign(|diff|)
-                        diff = win.astype(jnp.float32) - o.astype(
-                            jnp.float32)
-                        eqf = 1.0 - jnp.sign(jnp.abs(diff))
-                        contrib = d * eqf * mask.astype(jnp.float32)
+                        inv = 1.0 / jnp.maximum(
+                            cnt_ref[pw:pw + 1, :], 1.0)     # (1, CT)
+                        contrib = d * inv * ind
                         dfeat_ref[h, pl.ds(bal, WIN), :] = (
                             dfeat_ref[h, pl.ds(bal, WIN), :] + contrib)
                     return 0
@@ -283,6 +307,7 @@ def roi_pool_pallas_bwd(feat, rois, out, dy, pooled=7, spatial_scale=1.0 / 8,
         ],
         out_specs=pl.BlockSpec((H, W_pad, CT), lambda c, r, *_: (0, 0, c),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, CT), jnp.float32)],
     )
 
     dfeat = pl.pallas_call(

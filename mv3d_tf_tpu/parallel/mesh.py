@@ -55,7 +55,8 @@ def build_parallel_train_step(mesh, lr=1e-5, optimizer=None, axis="data",
     shardings.
     """
     tx = optimizer if optimizer is not None else optax.adam(lr)
-    forward_kwargs.setdefault("pool_impl", "xla")   # vmap-safe XLA pool
+    # fresh dict (no caller-visible mutation): vmap-safe XLA pool default
+    forward_kwargs = {"pool_impl": "xla", **forward_kwargs}
     forward_losses = build_forward_losses(**forward_kwargs)
 
     batch_spec = NamedSharding(mesh, P(axis))

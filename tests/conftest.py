@@ -21,8 +21,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the slow tier's big sharded programs
 # compile once per machine, not once per pytest run (VERDICT weak #8).
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+from mv3d_tf_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 assert jax.devices()[0].platform == "cpu", "tests must run on fake CPU devices"
 assert len(jax.devices()) == 8, "expected 8 fake CPU devices"
 

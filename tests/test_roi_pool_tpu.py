@@ -15,8 +15,8 @@ import pytest
 
 _CHECK = r"""
 import jax, numpy as np
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+from mv3d_tf_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 if jax.devices()[0].platform == "cpu":
     print("NO_TPU")
     raise SystemExit(0)

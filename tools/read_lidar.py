@@ -38,9 +38,8 @@ def main():
     import jax
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from mv3d_tf_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     from mv3d_tf_tpu.ops import bev as bev_ops
     from mv3d_tf_tpu.utils import native

@@ -56,9 +56,8 @@ def main():
     import jax
     if args.device.lower() == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from mv3d_tf_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     import jax.numpy as jnp
     from mv3d_tf_tpu.config import cfg, cfg_from_file, cfg_from_list

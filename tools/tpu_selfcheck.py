@@ -24,9 +24,8 @@ import numpy as np
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from mv3d_tf_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     dev = jax.devices()[0]
