@@ -198,7 +198,8 @@ def evaluate_ap_difficulty(frames, iou_thresh, difficulty):
 
 def evaluate_kitti_official(imdb, all_boxes, all_boxes_cnr, cls_ind=1,
                             iou_2d_thresh=0.7, iou_bev_thresh=0.7,
-                            iou_3d_thresh=0.7, log=print):
+                            iou_3d_thresh=0.7, log=print,
+                            projection="legacy"):
     """The 3 metric x 3 difficulty AP table for one class.
 
     all_boxes[cls][i]: (N,5) BEV dets [x1,y1,x2,y2,score];
@@ -206,9 +207,16 @@ def evaluate_kitti_official(imdb, all_boxes, all_boxes_cnr, cls_ind=1,
     2D image boxes are projected from the detection corners with the
     frame calib (the same projection the reference's results writer uses,
     test_mv.py:241-261 path).
+
+    projection: "legacy" uses the reference's translation-dropping
+    lidar_cnr_to_img (transform.py:483-500, parity mode — offsets every
+    2D det box by a few px vs properly-projected gt); "proper" uses the
+    standard KITTI chain (geometry.lidar_cnr_to_img_full, quality mode).
     """
     from mv3d_tf_tpu import geometry as Geo
 
+    proj = (Geo.lidar_cnr_to_img if projection == "legacy"
+            else Geo.lidar_cnr_to_img_full)
     frames_2d, frames_bev, frames_3d = [], [], []
     for i in range(imdb.num_images):
         entry = imdb.roidb[i]
@@ -222,7 +230,7 @@ def evaluate_kitti_official(imdb, all_boxes, all_boxes_cnr, cls_ind=1,
                          np.float32).reshape(-1, 25)
         scores = bev[:, 4]
         if len(cnr):
-            img_boxes = np.asarray(Geo.lidar_cnr_to_img(
+            img_boxes = np.asarray(proj(
                 cnr[:, :24], calib[3], calib[2], calib[0]), np.float32)
         else:
             img_boxes = np.zeros((0, 4), np.float32)

@@ -248,6 +248,36 @@ def lidar_cnr_to_img(corners, Tr, R0, P2, legacy_int=True):
     return boxes
 
 
+def lidar_cnr_to_img_full(corners, Tr, R0, P2):
+    """Quality-mode lidar-corners -> image boxes: the STANDARD KITTI
+    calibration chain with translations kept.
+
+    Both reference definitions of lidar_cnr_to_img append a ZERO
+    homogeneous row (transform.py:380 and :399-401), so P2's 4th column
+    and Tr's translation never contribute — every projected box is
+    offset by (P2[:,:3]@R0@t_Tr + P2[:,3]) / depth (several px at car
+    range on KITTI-like calibs). This function computes the correct
+    p = P2 @ [R0 @ (Tr @ [xyz;1]); 1] instead; use for quality-mode
+    eval/demo output, keep lidar_cnr_to_img for reference parity.
+    """
+    corners = jnp.asarray(corners, jnp.float32).reshape(-1, 3, 8)
+    Tr = jnp.asarray(Tr, jnp.float32).reshape(-1)[:12].reshape(3, 4)
+    R0 = jnp.asarray(R0, jnp.float32).reshape(-1)[:9].reshape(3, 3)
+    P2 = jnp.asarray(P2, jnp.float32).reshape(-1)[:12].reshape(3, 4)
+    n = corners.shape[0]
+    pts4 = jnp.concatenate(
+        [corners, jnp.ones((n, 1, 8), jnp.float32)], axis=1)   # (N,4,8)
+    cam = jnp.einsum('ij,njk->nik', Tr, pts4, precision=_HI)   # (N,3,8)
+    rect = jnp.einsum('ij,njk->nik', R0, cam, precision=_HI)
+    rect4 = jnp.concatenate(
+        [rect, jnp.ones((n, 1, 8), jnp.float32)], axis=1)
+    img = jnp.einsum('ij,njk->nik', P2, rect4, precision=_HI)
+    img = img / img[:, 2:3, :]
+    xs, ys = img[:, 0, :], img[:, 1, :]
+    return jnp.stack([jnp.min(xs, 1), jnp.min(ys, 1),
+                      jnp.max(xs, 1), jnp.max(ys, 1)], axis=1)
+
+
 # --- box delta encode / decode (lib/fast_rcnn/bbox_transform.py) -------------
 
 def bbox_transform(ex_rois, gt_rois):
