@@ -7,8 +7,6 @@ with the KITTI R40 recall sampling.
 
 import numpy as np
 
-from mv3d_tf_tpu.ops.iou import bbox_overlaps
-
 
 def ap_r40(rec, prec):
     """KITTI 40-point interpolated AP."""
@@ -40,7 +38,7 @@ def evaluate_bev_ap(all_dets, gt_boxes_per_image, iou_thresh=0.7):
         dets = dets[order]
         taken = np.zeros(len(gts), bool)
         if len(gts):
-            ious = np.asarray(bbox_overlaps(dets[:, :4], gts))
+            ious = iou_2d(dets[:, :4], gts)   # numpy: no per-shape compile
         for d in range(len(dets)):
             tp = False
             if len(gts):
@@ -108,9 +106,55 @@ def gt_levels(boxes2d, truncation, occlusion):
 
 
 def iou_2d(a, b):
-    """Pairwise IoU of (N,4) vs (M,4) axis-aligned boxes, +1 convention."""
-    return np.asarray(bbox_overlaps(
-        np.asarray(a, np.float32), np.asarray(b, np.float32)))
+    """Pairwise IoU of (N,4) vs (M,4) axis-aligned boxes, +1 convention.
+
+    Pure numpy on purpose: the eval loop calls this with a different
+    (N, M) per frame x metric x difficulty, and on the axon platform
+    every new shape of a jnp helper pays a full tunnel compile —
+    minutes of stall per eval (measured r2)."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    iw = (np.minimum(a[:, None, 2], b[None, :, 2])
+          - np.maximum(a[:, None, 0], b[None, :, 0]) + 1).clip(min=0)
+    ih = (np.minimum(a[:, None, 3], b[None, :, 3])
+          - np.maximum(a[:, None, 1], b[None, :, 1]) + 1).clip(min=0)
+    inter = iw * ih
+    area_a = (a[:, 2] - a[:, 0] + 1) * (a[:, 3] - a[:, 1] + 1)
+    area_b = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+    return inter / np.maximum(area_a[:, None] + area_b[None] - inter, 1e-9)
+
+
+def _lidar_cnr_to_img_np(corners, Tr, R0, P2, legacy=True):
+    """Numpy twin of geometry.lidar_cnr_to_img (legacy=True, the
+    0-homogeneous shadowing definition transform.py:483-500) and
+    geometry.lidar_cnr_to_img_full (legacy=False) — same rationale as
+    iou_2d: per-frame det counts vary, so the jnp versions recompile per
+    shape over the device tunnel."""
+    corners = np.asarray(corners, np.float32).reshape(-1, 3, 8)
+    Tr = np.asarray(Tr, np.float32).reshape(-1)[:12].reshape(3, 4)
+    R0v = np.asarray(R0, np.float32).reshape(-1)
+    P2 = np.asarray(P2, np.float32).reshape(-1)[:12].reshape(3, 4)
+    if legacy:
+        if R0v.shape[0] == 9:
+            R0v = np.concatenate([R0v, np.zeros(3, np.float32)])
+        mat = P2 @ R0v[:12].reshape(4, 3) @ Tr
+        pts4 = np.concatenate(
+            [corners, np.zeros((corners.shape[0], 1, 8), np.float32)], 1)
+        img = np.einsum("ij,njk->nik", mat, pts4)
+        img = img / img[:, 2:3, :]
+        xs, ys = img[:, 0, :], img[:, 1, :]
+        boxes = np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], 1)
+        return np.trunc(boxes)
+    R0m = R0v[:9].reshape(3, 3)
+    n = corners.shape[0]
+    pts4 = np.concatenate([corners, np.ones((n, 1, 8), np.float32)], 1)
+    cam = np.einsum("ij,njk->nik", Tr, pts4)
+    rect = np.einsum("ij,njk->nik", R0m, cam)
+    rect4 = np.concatenate([rect, np.ones((n, 1, 8), np.float32)], 1)
+    img = np.einsum("ij,njk->nik", P2, rect4)
+    img = img / img[:, 2:3, :]
+    xs, ys = img[:, 0, :], img[:, 1, :]
+    return np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], 1)
 
 
 def corners_to_aabb3d(cnr):
@@ -213,10 +257,10 @@ def evaluate_kitti_official(imdb, all_boxes, all_boxes_cnr, cls_ind=1,
     2D det box by a few px vs properly-projected gt); "proper" uses the
     standard KITTI chain (geometry.lidar_cnr_to_img_full, quality mode).
     """
-    from mv3d_tf_tpu import geometry as Geo
+    import functools
 
-    proj = (Geo.lidar_cnr_to_img if projection == "legacy"
-            else Geo.lidar_cnr_to_img_full)
+    proj = functools.partial(_lidar_cnr_to_img_np,
+                             legacy=(projection == "legacy"))
     frames_2d, frames_bev, frames_3d = [], [], []
     for i in range(imdb.num_images):
         entry = imdb.roidb[i]

@@ -92,13 +92,18 @@ def build_detect_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
 
 def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
                           post_nms_top_n=300, rpn_nms_thresh=0.7,
-                          compute_dtype=None):
+                          compute_dtype=None, quant=None):
     """Natively batched multi-frame detector (throughput path).
 
     Trunks/RPN/fusion-head run as ONE batched computation (bigger MXU
     matmuls than vmapping the single-frame graph); only the cheap
     proposal stage is vmapped per frame; ROI pooling gathers across
     frames via the rois' batch-idx column.
+
+    quant: optional int8 PTQ state from quant.build_quant_state — the 13
+    trunk convs run s8 on the MXU with int8 intermediates (also removing
+    the bf16 stem's HBM bottleneck); heads/pool stay bf16. Parity mode is
+    quant=None.
 
     Returns detect_batch(params, bev (B,...), image (B,...),
     calib (B,4,12)) -> dict with leading dims (B, P).
@@ -107,14 +112,24 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
     max_img_w = int(IMG_BOUNDS[1] + 2 * IMG_PAD + 10)
     import jax.numpy as jnp
 
+    # the int8 trunks emit bf16 features — heads must follow
+    head_dtype = (jnp.bfloat16 if quant is not None else compute_dtype)
+
     @jax.jit
-    def detect_batch(params, bev, image, calib):
+    def _detect_batch(params, qstate, bev, image, calib):
         B = bev.shape[0]
         image = image.astype(jnp.float32) - PIXEL_MEANS
-        c5, c5_2 = mv3d.extract_features(params, bev, image,
-                                         dtype=compute_dtype,
-                                         fused_stem=_fused_stem(compute_dtype))
-        rpn_cls, rpn_box = mv3d.rpn_head(params, c5, dtype=compute_dtype)
+        if qstate is not None:
+            from mv3d_tf_tpu import quant as Q
+            fbv, s_bv, fim, s_im = Q.extract_features_int8(
+                params, qstate, bev, image, fused_stem=False)
+            c5 = (fbv.astype(jnp.bfloat16) * s_bv).astype(jnp.bfloat16)
+            c5_2 = (fim.astype(jnp.bfloat16) * s_im).astype(jnp.bfloat16)
+        else:
+            c5, c5_2 = mv3d.extract_features(
+                params, bev, image, dtype=compute_dtype,
+                fused_stem=_fused_stem(compute_dtype))
+        rpn_cls, rpn_box = mv3d.rpn_head(params, c5, dtype=head_dtype)
         prob = mv3d.rpn_probs(rpn_cls)
 
         rois = jax.vmap(
@@ -137,8 +152,19 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
         pooled_img = roi_pool_fast(c5_2, flat_img, spatial_scale=1.0 / 8,
                                    max_in_h=max_img_h, max_in_w=max_img_w,
                                    chunk=512, rois_per_step=rt)
-        cls_score, cls_prob, bbox_pred = mv3d.fusion_head(
-            params, pooled_bv, pooled_img, dtype=compute_dtype)
+        if qstate is not None and qstate.get("head") is not None:
+            from mv3d_tf_tpu import quant as Q
+            s_bv = qstate["trunk_bv"]["conv5_3"]["s_out"]
+            s_im = qstate["trunk_img"]["conv5_3"]["s_out"]
+            bv_q = jnp.clip(jnp.round(pooled_bv.astype(jnp.float32) / s_bv),
+                            0, 127).astype(jnp.int8)
+            im_q = jnp.clip(jnp.round(pooled_img.astype(jnp.float32) / s_im),
+                            0, 127).astype(jnp.int8)
+            cls_score, cls_prob, bbox_pred = Q.fusion_head_int8(
+                params, qstate["head"], bv_q, s_bv, im_q, s_im)
+        else:
+            cls_score, cls_prob, bbox_pred = mv3d.fusion_head(
+                params, pooled_bv, pooled_img, dtype=head_dtype)
 
         boxes_3d = rois["rois_3d"].reshape(B * P, 7)[:, 1:7]
         boxes_cnr = G.lidar_3d_to_corners(boxes_3d)
@@ -156,6 +182,18 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
             "rois_3d": rois["rois_3d"],
             "valid": valid.reshape(B, P),
         }
+
+    if quant is None:
+        def detect_batch(params, bev, image, calib):
+            return _detect_batch(params, None, bev, image, calib)
+    else:
+        # the quant state rides as a runtime argument (a closure over
+        # device arrays would be folded into the program as ~50 MB of
+        # constants and bloat compilation)
+        qstate = jax.device_put(quant)
+
+        def detect_batch(params, bev, image, calib):
+            return _detect_batch(params, qstate, bev, image, calib)
 
     return detect_batch
 

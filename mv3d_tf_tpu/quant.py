@@ -1,0 +1,283 @@
+"""Post-training int8 quantization for the inference hot path.
+
+The v5e MXU runs s8 x s8 -> s32 at twice the bf16 rate, and the VGG
+trunks are ~2/3 of the fused inference program (PROGRESS.md stage
+profile), so int8 trunks are the single biggest lever toward the 500
+fps north star (VERDICT r1 next-round #1). This module implements
+standard static PTQ:
+
+  * weights: per-output-channel symmetric int8
+    (scale_c = max|w[..., c]| / 127);
+  * activations: per-tensor symmetric int8 from a calibration pass
+    (scale = max|activation| / 127 over N frames); every trunk
+    activation is post-ReLU so the int8 range is effectively [0, 127];
+  * conv: s32 accumulate, dequant (s_in * s_w_c) + bias in f32, ReLU,
+    requantize for the next layer — requant chains fuse into the conv
+    epilogue under XLA, the MXU sees pure s8 operands;
+  * 2x2 max pools run directly on int8 (max commutes with the monotone
+    quantization map) — halves pool bandwidth too.
+
+The reference has no quantization (TF 1.0 f32 everywhere); this is a
+new capability the TPU target motivates, gated behind an explicit flag
+so parity mode stays bf16/f32.
+
+Accuracy gate (tools/quant_check.py + tests/test_quant.py): detections
+on synthetic frames must match the bf16 path within AP noise.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mv3d_tf_tpu.models import vgg
+
+_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv_s8(x_q, w_q, stride=1, padding="SAME"):
+    """s8 x s8 -> s32 convolution on the MXU."""
+    return jax.lax.conv_general_dilated(
+        x_q, w_q, window_strides=(stride, stride), padding=padding,
+        dimension_numbers=_DIMS, preferred_element_type=jnp.int32)
+
+
+def quantize_weights(w):
+    """(3,3,cin,cout) f32 -> (int8 weights, (cout,) f32 scales)."""
+    w = np.asarray(w, np.float32)
+    scale = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0) / 127.0
+    scale = np.maximum(scale, 1e-12).astype(np.float32)
+    w_q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+    return w_q, scale
+
+
+def calibrate_trunk(params, frames, suffix="", percentile=100.0):
+    """Per-layer activation scales from a calibration batch.
+
+    frames: (B, H, W, C) input batch (BEV or image, already
+    mean-subtracted for the image trunk). Runs the bf16 trunk layer by
+    layer on device recording max|activation| (optionally a percentile,
+    which clips outliers at a small clipping-error cost).
+
+    Returns {"__input__": s_in, layer_name: s_out, ...} float scales
+    (max/127).
+    """
+    def amax(a):
+        if percentile >= 100.0:
+            return float(jnp.max(jnp.abs(a)))
+        return float(np.percentile(np.abs(np.asarray(a, np.float32)),
+                                   percentile))
+
+    scales = {}
+    x = jnp.asarray(frames)
+    scales["__input__"] = amax(x) / 127.0
+    x = x.astype(jnp.bfloat16)
+    for name, _, pool in vgg.VGG_LAYERS:
+        p = params[name + suffix]
+        x = vgg.conv2d(x, p["weights"], p["biases"], dtype=jnp.bfloat16)
+        if pool:
+            x = vgg.max_pool_2x2_valid(x)
+        scales[name] = amax(x) / 127.0
+    return scales
+
+
+def quantize_trunk(params, act_scales, suffix=""):
+    """Build the int8 trunk param pytree.
+
+    Returns {layer: {w_q int8, bias f32, s_w (cout,) f32, s_in f32,
+    s_out f32}} keyed WITHOUT the suffix.
+    """
+    q = {}
+    s_in = float(act_scales["__input__"])
+    for name, _, _ in vgg.VGG_LAYERS:
+        p = params[name + suffix]
+        w_q, s_w = quantize_weights(p["weights"])
+        q[name] = {
+            "w_q": jnp.asarray(w_q),
+            "bias": jnp.asarray(np.asarray(p["biases"], np.float32)),
+            "s_w": jnp.asarray(s_w),
+            "s_in": jnp.float32(s_in),
+            "s_out": jnp.float32(act_scales[name]),
+        }
+        s_in = float(act_scales[name])
+    return q
+
+
+def _requant(y_f32, s_out):
+    """f32 -> int8 with the layer's output scale (post-ReLU: [0,127])."""
+    return jnp.clip(jnp.round(y_f32 / s_out), 0, 127).astype(jnp.int8)
+
+
+def trunk_apply_int8(qtrunk, x, input_scale=None):
+    """Run the 13-conv stride-8 trunk fully in int8.
+
+    x: float input (B,H,W,C) — quantized with the calibration input
+    scale; or an ALREADY-QUANTIZED int8 tensor (then input_scale must
+    equal the scale it was quantized with, e.g. the stem path).
+
+    Returns (feat_int8 (B,h,w,512), s_feat): the conv5_3 activations in
+    int8 plus their scale — the ROI pool consumes int8 directly (max
+    pooling commutes with quantization) and the fusion head dequantizes.
+    """
+    first = vgg.VGG_LAYERS[0][0]
+    if x.dtype != jnp.int8:
+        s = qtrunk[first]["s_in"]
+        x = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                     -127, 127).astype(jnp.int8)
+    for name, _, pool in vgg.VGG_LAYERS:
+        p = qtrunk[name]
+        y32 = _conv_s8(x, p["w_q"])
+        scale = (p["s_in"] * p["s_w"]).astype(jnp.float32)
+        y = jnp.maximum(y32.astype(jnp.float32) * scale + p["bias"], 0.0)
+        x = _requant(y, p["s_out"])
+        if pool:
+            x = vgg.max_pool_2x2_valid(x)
+    return x, qtrunk[vgg.VGG_LAYERS[-1][0]]["s_out"]
+
+
+def trunk_apply_int8_from_stem(qtrunk, stem_out_bf16):
+    """Continue the int8 trunk from the Pallas bf16 stem output
+    (conv1_2+pool1 already applied): quantize with conv1_2's output
+    scale and run conv2_1 .. conv5_3."""
+    s = qtrunk["conv1_2"]["s_out"]
+    x = jnp.clip(jnp.round(stem_out_bf16.astype(jnp.float32) / s),
+                 0, 127).astype(jnp.int8)
+    for name, _, pool in vgg.VGG_LAYERS[2:]:
+        p = qtrunk[name]
+        y32 = _conv_s8(x, p["w_q"])
+        scale = (p["s_in"] * p["s_w"]).astype(jnp.float32)
+        y = jnp.maximum(y32.astype(jnp.float32) * scale + p["bias"], 0.0)
+        x = _requant(y, p["s_out"])
+        if pool:
+            x = vgg.max_pool_2x2_valid(x)
+    return x, qtrunk[vgg.VGG_LAYERS[-1][0]]["s_out"]
+
+
+# ---------------------------------------------------------------------------
+# Fusion head (fc6/fc7 per view + cls/bbox) in int8
+# ---------------------------------------------------------------------------
+
+def calibrate_head(params, pooled_bv, pooled_img):
+    """Activation scales for the fc stack from calibration ROI features
+    (bf16 reference forward, mv3d.fusion_head structure)."""
+    from mv3d_tf_tpu.models import mv3d
+
+    def amax(a):
+        return float(jnp.max(jnp.abs(a)))
+
+    scales = {}
+    x1 = pooled_bv.reshape(pooled_bv.shape[0], -1).astype(jnp.bfloat16)
+    x2 = pooled_img.reshape(pooled_img.shape[0], -1).astype(jnp.bfloat16)
+    scales["pooled_bv"] = amax(x1) / 127.0
+    scales["pooled_img"] = amax(x2) / 127.0
+    f1 = mv3d.fc_apply(params["fc6_1"], x1)
+    scales["fc6_1"] = amax(f1) / 127.0
+    f1 = mv3d.fc_apply(params["fc7_1"], f1)
+    scales["fc7_1"] = amax(f1) / 127.0
+    f2 = mv3d.fc_apply(params["fc6_2"], x2)
+    scales["fc6_2"] = amax(f2) / 127.0
+    f2 = mv3d.fc_apply(params["fc7_2"], f2)
+    scales["fc7_2"] = amax(f2) / 127.0
+    return scales
+
+
+def quantize_head(params, head_scales):
+    """int8 params for fc6/fc7 of both views; cls_score / bbox_pred stay
+    bf16 (tiny matmuls, and the score head is accuracy-critical)."""
+    q = {"scales": {k: jnp.float32(v) for k, v in head_scales.items()}}
+    for name in ("fc6_1", "fc7_1", "fc6_2", "fc7_2"):
+        w = np.asarray(params[name]["weights"], np.float32)
+        s_w = np.maximum(np.abs(w).max(axis=0) / 127.0,
+                         1e-12).astype(np.float32)
+        q[name] = {
+            "w_q": jnp.asarray(
+                np.clip(np.rint(w / s_w), -127, 127).astype(np.int8)),
+            "bias": jnp.asarray(np.asarray(params[name]["biases"],
+                                           np.float32)),
+            "s_w": jnp.asarray(s_w),
+        }
+    return q
+
+
+def _fc_s8(x_q, p, s_in):
+    y32 = jax.lax.dot_general(x_q, p["w_q"], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return jnp.maximum(
+        y32.astype(jnp.float32) * (s_in * p["s_w"]) + p["bias"], 0.0)
+
+
+def fusion_head_int8(params, qhead, pooled_bv_q, s_bv, pooled_img_q, s_img):
+    """Int8 fc6/fc7 over int8 ROI features straight from the int8 trunk
+    (pooled_*_q are int8 with trunk scales s_bv / s_img); cls/bbox heads
+    run bf16 on the fused activations (mv3d.fusion_head test-graph
+    semantics, MV3D_test.py:103-123 — no dropout)."""
+    from mv3d_tf_tpu.models import mv3d
+    sc = qhead["scales"]
+    n = pooled_bv_q.shape[0]
+    x1 = pooled_bv_q.reshape(n, -1)
+    x2 = pooled_img_q.reshape(n, -1)
+
+    f1 = _fc_s8(x1, qhead["fc6_1"], s_bv)
+    f1 = _fc_s8(jnp.clip(jnp.round(f1 / sc["fc6_1"]), 0, 127
+                         ).astype(jnp.int8), qhead["fc7_1"], sc["fc6_1"])
+    f2 = _fc_s8(x2, qhead["fc6_2"], s_img)
+    f2 = _fc_s8(jnp.clip(jnp.round(f2 / sc["fc6_2"]), 0, 127
+                         ).astype(jnp.int8), qhead["fc7_2"], sc["fc6_2"])
+
+    fused = jnp.concatenate([f1, f2], axis=1).astype(jnp.bfloat16)
+    cls_score = mv3d.fc_apply(params["cls_score"], fused, relu=False)
+    cls_prob = jax.nn.softmax(cls_score.astype(jnp.float32), axis=-1)
+    bbox_pred = mv3d.fc_apply(params["bbox_pred"], fused, relu=False)
+    return cls_score, cls_prob, bbox_pred
+
+
+def build_quant_state(params, bev_frames, image_frames, pooled_bv=None,
+                      pooled_img=None, use_stem=True):
+    """One-call PTQ: calibrate both trunks (+ optionally the head) and
+    return the quantized-state pytree consumed by eval.build_detect_*.
+
+    bev_frames (B,601,601,9); image_frames (B,H,W,3) ALREADY
+    mean-subtracted. pooled_* optionally provide head-calibration ROI
+    features (int8 head skipped when absent).
+    """
+    bev_scales = calibrate_trunk(params, bev_frames, suffix="")
+    img_scales = calibrate_trunk(params, image_frames, suffix="_2")
+    state = {
+        "trunk_bv": quantize_trunk(params, bev_scales, suffix=""),
+        "trunk_img": quantize_trunk(params, img_scales, suffix="_2"),
+        "use_stem": use_stem,
+        "head": None,
+    }
+    if pooled_bv is not None and pooled_img is not None:
+        head_scales = calibrate_head(params, pooled_bv, pooled_img)
+        state["head"] = quantize_head(params, head_scales)
+    return state
+
+
+def extract_features_int8(params, quant, bev, image, fused_stem=True):
+    """Quantized twin of mv3d.extract_features: Pallas bf16 stem (conv1
+    stays bf16 — 9/3 input channels can't fill the int8 MXU either) then
+    int8 conv2_1..conv5_3. Returns (feat_bv_q, s_bv, feat_img_q, s_img).
+    """
+    from mv3d_tf_tpu.ops.vgg_stem_pallas import (stem_tile_rows,
+                                                 vgg_stem_pallas)
+    if fused_stem:
+        p1, p2 = params["conv1_1"], params["conv1_2"]
+        stem_bv = vgg_stem_pallas(bev, p1["weights"], p1["biases"],
+                                  p2["weights"], p2["biases"],
+                                  tile_rows=stem_tile_rows(
+                                      bev.shape[1] // 2))
+        p1, p2 = params["conv1_1_2"], params["conv1_2_2"]
+        stem_img = vgg_stem_pallas(image, p1["weights"], p1["biases"],
+                                   p2["weights"], p2["biases"],
+                                   tile_rows=stem_tile_rows(
+                                       image.shape[1] // 2))
+        feat_bv, s_bv = trunk_apply_int8_from_stem(quant["trunk_bv"],
+                                                   stem_bv)
+        feat_img, s_img = trunk_apply_int8_from_stem(quant["trunk_img"],
+                                                     stem_img)
+    else:
+        feat_bv, s_bv = trunk_apply_int8(quant["trunk_bv"], bev)
+        feat_img, s_img = trunk_apply_int8(quant["trunk_img"], image)
+    return feat_bv, s_bv, feat_img, s_img

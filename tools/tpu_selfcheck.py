@@ -117,6 +117,50 @@ def main():
     check("vgg stem vs XLA (bf16 one-ulp)", rel <= 2 ** -7,
           "(rel {:.2e})".format(rel))
 
+    # --- 5. axon NMS construction rules (VERDICT r1 #6) ----------------------
+    # Two documented failure modes on this platform (proposals.py:85-100,
+    # ops/nms.py:90-97): (a) a data-dependent while_loop NMS after
+    # lax.top_k in a SMALL standalone program hard-crashes the TPU
+    # worker; (b) a second sort inside the big fused graph sends the
+    # remote compiler into minutes-long schedules. The shipping rules:
+    # fori greedy for small standalone programs, blocked-scan for large
+    # fused graphs. This check executes BOTH shipping constructions on
+    # the real chip so a refactor that silently swaps them fails loudly
+    # here instead of wedging the worker in production.
+    from mv3d_tf_tpu.proposals import proposal_layer_3d
+    calib = np.zeros((4, 12), np.float32)
+    calib[0] = [707.0, 0, 601.8, 45.7, 0, 707.0, 183.1, -0.34,
+                0, 0, 1.0, 0.005]
+    calib[2, :9] = np.eye(3, dtype=np.float32).reshape(-1)
+    calib[3] = [0.0002, -0.9999, -0.0106, -0.002, 0.0104, 0.0106,
+                -0.9999, -0.075, 0.9999, 0.0002, 0.0105, -0.272]
+    prob = jax.device_put(rng.rand(1, 75, 75, 8).astype(np.float32))
+    deltas = jax.device_put(
+        (rng.rand(1, 75, 75, 24).astype(np.float32) - 0.5) * 0.1)
+    calibd = jax.device_put(calib)
+    try:
+        # (a) small standalone program, fori NMS (test budget)
+        small = proposal_layer_3d(prob, deltas, calibd, 75, 75,
+                                  pre_nms_top_n=6000, post_nms_top_n=300,
+                                  nms_thresh=0.7)
+        n_small = int(np.asarray(small["valid"]).sum())
+        check("nms small standalone (fori) runs", n_small > 0,
+              "({} valid)".format(n_small))
+        # (b) blocked-scan NMS at the train budget inside one jit
+        big = proposal_layer_3d(prob, deltas, calibd, 75, 75,
+                                pre_nms_top_n=12000, post_nms_top_n=2000,
+                                nms_thresh=0.7, nms_impl="blocked")
+        n_big = int(np.asarray(big["valid"]).sum())
+        check("nms blocked-scan (train budget) runs", n_big > 0,
+              "({} valid)".format(n_big))
+        # keep sets must agree on the shared prefix when budgets allow
+        ka = np.asarray(small["rois_bv"])[:50]
+        kb = np.asarray(big["rois_bv"])[:50]
+        check("nms fori/blocked keep sets agree", np.allclose(ka, kb,
+                                                              atol=1e-4))
+    except Exception as e:  # noqa: BLE001 — any crash here is the finding
+        check("nms construction rules", False, repr(e)[:200])
+
     print(("ALL OK" if not failures else
            "FAILURES: " + ", ".join(failures)), flush=True)
     sys.exit(1 if failures else 0)
