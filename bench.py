@@ -81,8 +81,28 @@ def main():
 
     dt = timeit(lambda: detect_batch(bev, image, calib)["scores"], 10)
     fps = B / dt
-    log("batched detect: {:.1f} ms/batch -> {:.1f} frames/s".format(
+    log("batched detect (bf16): {:.1f} ms/batch -> {:.1f} frames/s".format(
         dt * 1000, fps))
+
+    # int8 PTQ path (weights per-channel, activations calibrated on the
+    # bench frames; accuracy gate: tools/quant_check.py) — headline takes
+    # whichever path is faster
+    from mv3d_tf_tpu import quant as Q
+    from mv3d_tf_tpu.eval import PIXEL_MEANS
+    t0 = time.perf_counter()
+    qs = Q.build_quant_state(params, np.asarray(bev),
+                             np.asarray(image) - PIXEL_MEANS)
+    detect_q = build_detect_batch_fn(compute_dtype=jnp.bfloat16, quant=qs)
+    out = detect_q(params, bev, image, calib)
+    barrier(out["scores"])
+    log("int8 calibrate+compile+first: {:.1f}s".format(
+        time.perf_counter() - t0))
+    dt_q = timeit(lambda: detect_q(params, bev, image, calib)["scores"], 10)
+    fps_q = B / dt_q
+    log("batched detect (int8 trunks): {:.1f} ms/batch -> {:.1f} frames/s"
+        .format(dt_q * 1000, fps_q))
+    if fps_q > fps:
+        fps = fps_q
 
     # aux: single-frame p50 latency (per-call barrier — true latency,
     # includes one tunnel RTT, slightly pessimistic)

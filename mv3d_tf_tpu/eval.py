@@ -26,10 +26,16 @@ PIXEL_MEANS = np.array([95.8814, 98.7743, 93.8549], np.float32)  # config.py:211
 
 
 def _fused_stem(compute_dtype):
-    """Use the Pallas fused conv1 stem on real TPU bf16 inference (the
-    kernel has no VJP and no CPU fast path; see ops/vgg_stem_pallas.py)."""
-    return (jax.default_backend() != "cpu"
-            and compute_dtype == jnp.bfloat16)
+    """Whether to use the Pallas fused conv1 stem (ops/vgg_stem_pallas.py).
+
+    DISABLED (r2): the kernel silently mis-lowers on the current worker
+    Mosaic stack — tools/tpu_selfcheck.py check 4 measures rel 0.45 vs
+    the XLA path (one-ulp in r1; interpret mode still exact, so the
+    regression is in lowering, not kernel logic). Until the kernel is
+    fixed or the stack moves, the stem runs as plain XLA convs; the int8
+    quant path never used it. Re-enable ONLY when selfcheck 4 is green.
+    """
+    return False
 
 
 def build_detect_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,

@@ -52,34 +52,33 @@ def quantize_weights(w):
     return w_q, scale
 
 
-def calibrate_trunk(params, frames, suffix="", percentile=100.0):
+def calibrate_trunk(params, frames, suffix=""):
     """Per-layer activation scales from a calibration batch.
 
     frames: (B, H, W, C) input batch (BEV or image, already
-    mean-subtracted for the image trunk). Runs the bf16 trunk layer by
-    layer on device recording max|activation| (optionally a percentile,
-    which clips outliers at a small clipping-error cost).
+    mean-subtracted for the image trunk). Runs the bf16 trunk as ONE
+    jitted program that returns every layer's max|activation| (13
+    separate dispatches would each pay a device-tunnel compile).
 
     Returns {"__input__": s_in, layer_name: s_out, ...} float scales
     (max/127).
     """
-    def amax(a):
-        if percentile >= 100.0:
-            return float(jnp.max(jnp.abs(a)))
-        return float(np.percentile(np.abs(np.asarray(a, np.float32)),
-                                   percentile))
+    @jax.jit
+    def maxes(p, x):
+        out = {"__input__": jnp.max(jnp.abs(x))}
+        x = x.astype(jnp.bfloat16)
+        for name, _, pool in vgg.VGG_LAYERS:
+            lp = p[name + suffix]
+            x = vgg.conv2d(x, lp["weights"], lp["biases"],
+                           dtype=jnp.bfloat16)
+            if pool:
+                x = vgg.max_pool_2x2_valid(x)
+            out[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        return out
 
-    scales = {}
-    x = jnp.asarray(frames)
-    scales["__input__"] = amax(x) / 127.0
-    x = x.astype(jnp.bfloat16)
-    for name, _, pool in vgg.VGG_LAYERS:
-        p = params[name + suffix]
-        x = vgg.conv2d(x, p["weights"], p["biases"], dtype=jnp.bfloat16)
-        if pool:
-            x = vgg.max_pool_2x2_valid(x)
-        scales[name] = amax(x) / 127.0
-    return scales
+    m = jax.tree.map(float, jax.device_get(maxes(params,
+                                                 jnp.asarray(frames))))
+    return {k: v / 127.0 for k, v in m.items()}
 
 
 def quantize_trunk(params, act_scales, suffix=""):
@@ -104,9 +103,20 @@ def quantize_trunk(params, act_scales, suffix=""):
     return q
 
 
-def _requant(y_f32, s_out):
-    """f32 -> int8 with the layer's output scale (post-ReLU: [0,127])."""
-    return jnp.clip(jnp.round(y_f32 / s_out), 0, 127).astype(jnp.int8)
+def _conv_requant(x, p):
+    """One int8 conv + FOLDED requant epilogue.
+
+    Mathematically identical to dequant -> +bias -> ReLU -> /s_out ->
+    round -> clip, but as a single FMA on the s32 accumulator
+    (k = s_in*s_w/s_out, b' = bias/s_out) with ReLU folded into the
+    0-clamp — fewer VPU passes over the full-res intermediate, which is
+    where the epilogue cost lives at conv1/conv2 resolution.
+    """
+    y32 = _conv_s8(x, p["w_q"])
+    k = (p["s_in"] * p["s_w"] / p["s_out"]).astype(jnp.float32)
+    b = (p["bias"] / p["s_out"]).astype(jnp.float32)
+    y = y32.astype(jnp.float32) * k + b
+    return jnp.clip(jnp.round(y), 0, 127).astype(jnp.int8)
 
 
 def trunk_apply_int8(qtrunk, x, input_scale=None):
@@ -126,29 +136,21 @@ def trunk_apply_int8(qtrunk, x, input_scale=None):
         x = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
                      -127, 127).astype(jnp.int8)
     for name, _, pool in vgg.VGG_LAYERS:
-        p = qtrunk[name]
-        y32 = _conv_s8(x, p["w_q"])
-        scale = (p["s_in"] * p["s_w"]).astype(jnp.float32)
-        y = jnp.maximum(y32.astype(jnp.float32) * scale + p["bias"], 0.0)
-        x = _requant(y, p["s_out"])
+        x = _conv_requant(x, qtrunk[name])
         if pool:
             x = vgg.max_pool_2x2_valid(x)
     return x, qtrunk[vgg.VGG_LAYERS[-1][0]]["s_out"]
 
 
 def trunk_apply_int8_from_stem(qtrunk, stem_out_bf16):
-    """Continue the int8 trunk from the Pallas bf16 stem output
-    (conv1_2+pool1 already applied): quantize with conv1_2's output
-    scale and run conv2_1 .. conv5_3."""
+    """Continue the int8 trunk from a bf16 stem output (conv1_2+pool1
+    already applied): quantize with conv1_2's output scale and run
+    conv2_1 .. conv5_3."""
     s = qtrunk["conv1_2"]["s_out"]
     x = jnp.clip(jnp.round(stem_out_bf16.astype(jnp.float32) / s),
                  0, 127).astype(jnp.int8)
     for name, _, pool in vgg.VGG_LAYERS[2:]:
-        p = qtrunk[name]
-        y32 = _conv_s8(x, p["w_q"])
-        scale = (p["s_in"] * p["s_w"]).astype(jnp.float32)
-        y = jnp.maximum(y32.astype(jnp.float32) * scale + p["bias"], 0.0)
-        x = _requant(y, p["s_out"])
+        x = _conv_requant(x, qtrunk[name])
         if pool:
             x = vgg.max_pool_2x2_valid(x)
     return x, qtrunk[vgg.VGG_LAYERS[-1][0]]["s_out"]
@@ -255,14 +257,40 @@ def build_quant_state(params, bev_frames, image_frames, pooled_bv=None,
     return state
 
 
-def extract_features_int8(params, quant, bev, image, fused_stem=True):
-    """Quantized twin of mv3d.extract_features: Pallas bf16 stem (conv1
-    stays bf16 — 9/3 input channels can't fill the int8 MXU either) then
-    int8 conv2_1..conv5_3. Returns (feat_bv_q, s_bv, feat_img_q, s_img).
+def _bf16_stem(params, x, suffix=""):
+    """conv1_1 + conv1_2 + pool in bf16 XLA (the conv1 pair quantizes
+    badly: 9/3 input channels pad to the int8 MXU tile and lose the
+    speedup, measured slower than bf16)."""
+    h = x.astype(jnp.bfloat16)
+    for name in ("conv1_1", "conv1_2"):
+        p = params[name + suffix]
+        h = vgg.conv2d(h, p["weights"], p["biases"], dtype=jnp.bfloat16)
+    return vgg.max_pool_2x2_valid(h)
+
+
+def extract_features_int8(params, quant, bev, image, fused_stem=False,
+                          stem="bf16"):
+    """Quantized twin of mv3d.extract_features.
+
+    stem selects how conv1_1/conv1_2/pool1 run before the int8
+    conv2_1..conv5_3 chain:
+      "bf16"   — XLA bf16 stem (default; conv1 can't fill the int8 MXU);
+      "int8"   — fully quantized from the input;
+      "pallas" — the fused Pallas stem (DISABLED shipping-wide r2:
+                 Mosaic lowering regression, see eval._fused_stem).
+    fused_stem=True is the legacy alias for "pallas".
+
+    Returns (feat_bv_q, s_bv, feat_img_q, s_img).
     """
-    from mv3d_tf_tpu.ops.vgg_stem_pallas import (stem_tile_rows,
-                                                 vgg_stem_pallas)
     if fused_stem:
+        stem = "pallas"
+    if stem == "int8":
+        feat_bv, s_bv = trunk_apply_int8(quant["trunk_bv"], bev)
+        feat_img, s_img = trunk_apply_int8(quant["trunk_img"], image)
+        return feat_bv, s_bv, feat_img, s_img
+    if stem == "pallas":
+        from mv3d_tf_tpu.ops.vgg_stem_pallas import (stem_tile_rows,
+                                                     vgg_stem_pallas)
         p1, p2 = params["conv1_1"], params["conv1_2"]
         stem_bv = vgg_stem_pallas(bev, p1["weights"], p1["biases"],
                                   p2["weights"], p2["biases"],
@@ -273,11 +301,10 @@ def extract_features_int8(params, quant, bev, image, fused_stem=True):
                                    p2["weights"], p2["biases"],
                                    tile_rows=stem_tile_rows(
                                        image.shape[1] // 2))
-        feat_bv, s_bv = trunk_apply_int8_from_stem(quant["trunk_bv"],
-                                                   stem_bv)
-        feat_img, s_img = trunk_apply_int8_from_stem(quant["trunk_img"],
-                                                     stem_img)
     else:
-        feat_bv, s_bv = trunk_apply_int8(quant["trunk_bv"], bev)
-        feat_img, s_img = trunk_apply_int8(quant["trunk_img"], image)
+        stem_bv = _bf16_stem(params, bev, suffix="")
+        stem_img = _bf16_stem(params, image, suffix="_2")
+    feat_bv, s_bv = trunk_apply_int8_from_stem(quant["trunk_bv"], stem_bv)
+    feat_img, s_img = trunk_apply_int8_from_stem(quant["trunk_img"],
+                                                 stem_img)
     return feat_bv, s_bv, feat_img, s_img

@@ -29,7 +29,8 @@ def test_kitti_tracking(tmp_path):
     db = KittiTracking("train", seq, str(tmp_path))
     assert db.num_images == 2
     e0 = db.roidb[0]
-    assert len(e0["gt_classes"]) == 1           # pedestrian filtered out
+    # reference class set keeps Car+Pedestrian+Cyclist (kitti_tracking.py:26)
+    np.testing.assert_array_equal(e0["gt_classes"], [1, 2])
     np.testing.assert_allclose(e0["boxes"][0], [100, 110, 200, 180])
     np.testing.assert_allclose(e0["boxes_3D_cam"][0],
                                [2.0, 1.5, 15.0, 4.0, 1.6, 1.5])
@@ -56,10 +57,12 @@ def test_coco_stdlib_json(tmp_path):
     e = db.roidb[0]
     assert len(e["gt_classes"]) == 1            # crowd filtered
     np.testing.assert_allclose(e["boxes"][0], [10, 10, 29, 24])
-    # results writer
+    # results writer (val split: returns AP stats, json still written)
     all_boxes = [[[]], [np.array([[10, 10, 29, 24, 0.9]])], [[]]]
-    path = db.evaluate_detections(all_boxes, str(tmp_path / "out"))
-    res = json.load(open(path))
+    stats = db.evaluate_detections(all_boxes, str(tmp_path / "out"))
+    assert stats["ap"] == pytest.approx(1.0)
+    res = json.load(open(tmp_path / "out" /
+                         "detections_val2017_results.json"))
     assert res[0]["category_id"] == 3
     assert res[0]["bbox"] == [10.0, 10.0, 20.0, 15.0]
 

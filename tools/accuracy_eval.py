@@ -110,11 +110,20 @@ def main():
         table = evaluate_kitti_official(val_imdb, all_boxes, all_cnr,
                                         log=quiet)
         rec["official"] = table
+        # VERDICT r1 #4: the parity-mode 2D AP is depressed by the
+        # reference's translation-dropping projection (transform.py:483-500)
+        # — record the proper-projection table alongside to show the gap
+        # is the inherited projection, not a detection bug.
+        table_p = evaluate_kitti_official(val_imdb, all_boxes, all_cnr,
+                                          log=quiet, projection="proper")
+        rec["official_proper_projection"] = table_p
         rec["eval_seconds"] = round(time.time() - t0, 1)
         print("[eval {}] BEV AP@0.5={:.4f} AP@0.7={:.4f} "
-              "official bev(hard)={:.4f} 3d(hard)={:.4f} ({}s)".format(
+              "official bev(hard)={:.4f} 3d(hard)={:.4f} "
+              "2d(hard) legacy={:.4f} proper={:.4f} ({}s)".format(
                   tag, rec["bev_ap@0.5"], rec["bev_ap@0.7"],
                   table["bev"]["hard"], table["3d"]["hard"],
+                  table["2d"]["hard"], table_p["2d"]["hard"],
                   rec["eval_seconds"]), flush=True)
         return rec
 

@@ -24,7 +24,7 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kitti_path", required=True)
-    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--calib_frames", type=int, default=8)
     ap.add_argument("--model", default=None)
     args = ap.parse_args()

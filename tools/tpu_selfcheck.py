@@ -14,12 +14,17 @@ Checks:
   4. Fused VGG stem kernel vs the XLA conv path — bf16 one-ulp.
 
 Usage: python tools/tpu_selfcheck.py   (exit 0 = all pass)
+       python tools/tpu_selfcheck.py --write-golden   (record check-6 ref)
 """
 
+import os
 import sys
 
 import _init_paths  # noqa: F401
 import numpy as np
+
+GOLDEN_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests", "golden_tpu_fullshape.npz")
 
 
 def main():
@@ -114,8 +119,17 @@ def main():
         jnp.asarray(x), jnp.asarray(w1), jnp.asarray(b1),
         jnp.asarray(w2), jnp.asarray(b2), tile_rows=10), np.float32)
     rel = np.abs(ref_s - got_s).max() / max(np.abs(ref_s).max(), 1e-6)
-    check("vgg stem vs XLA (bf16 one-ulp)", rel <= 2 ** -7,
-          "(rel {:.2e})".format(rel))
+    from mv3d_tf_tpu.eval import _fused_stem
+    stem_enabled = _fused_stem(jnp.bfloat16)
+    if stem_enabled:
+        check("vgg stem vs XLA (bf16 one-ulp)", rel <= 2 ** -7,
+              "(rel {:.2e})".format(rel))
+    else:
+        # the stem is disabled in the shipping path (r2: Mosaic lowering
+        # regression, rel ~0.45 on this stack) — report, don't fail; if
+        # this line ever shows a SMALL rel again, re-enable _fused_stem
+        print("  [off] vgg stem kernel disabled in shipping path "
+              "(rel {:.2e} vs XLA here)".format(rel), flush=True)
 
     # --- 5. axon NMS construction rules (VERDICT r1 #6) ----------------------
     # Two documented failure modes on this platform (proposals.py:85-100,
@@ -160,6 +174,43 @@ def main():
                                                               atol=1e-4))
     except Exception as e:  # noqa: BLE001 — any crash here is the finding
         check("nms construction rules", False, repr(e)[:200])
+
+    # --- 6. full-shape TPU golden (VERDICT r1 #8) ----------------------------
+    # The 81x81 CPU canary (tests/test_golden_e2e.py) cannot see bf16
+    # excess-precision or Mosaic lowering drift — this pins the REAL
+    # 601^2 + 384x1248 bf16 single-frame detect output on the chip.
+    # Tolerances are banded: scores are softmax outputs (atol 2e-2 vs
+    # recorded bf16 values), box coords in BEV pixels (atol 1.0), and the
+    # valid count must match exactly.
+    from mv3d_tf_tpu.eval import build_detect_fn
+    from mv3d_tf_tpu.models import mv3d as mv3d_model
+    grng = np.random.RandomState(7)
+    params_g = jax.device_put(mv3d_model.init_params(jax.random.PRNGKey(0)))
+    bev_g = jax.device_put(grng.rand(601, 601, 9).astype(np.float32))
+    img_g = jax.device_put(
+        (grng.rand(384, 1248, 3) * 255).astype(np.float32))
+    detect_g = build_detect_fn(compute_dtype=jnp.bfloat16)
+    out_g = detect_g(params_g, bev_g, img_g, jax.device_put(calib))
+    got_scores = np.asarray(out_g["scores"], np.float32)
+    got_bv = np.asarray(out_g["boxes_bv"], np.float32)
+    got_valid = np.asarray(out_g["valid"])
+    if "--write-golden" in sys.argv:
+        np.savez_compressed(GOLDEN_PATH, scores=got_scores, boxes_bv=got_bv,
+                            valid=got_valid)
+        print("  [wrote] full-shape golden -> " + GOLDEN_PATH, flush=True)
+    elif os.path.exists(GOLDEN_PATH) and dev.platform != "cpu":
+        ref_g = np.load(GOLDEN_PATH)
+        ok = (int(got_valid.sum()) == int(ref_g["valid"].sum())
+              and np.allclose(got_scores, ref_g["scores"], atol=2e-2)
+              and np.allclose(got_bv, ref_g["boxes_bv"], atol=1.0))
+        check("full-shape TPU golden", ok,
+              "(valid {} vs {}, max dscore {:.3e}, max dbox {:.2f})".format(
+                  int(got_valid.sum()), int(ref_g["valid"].sum()),
+                  np.abs(got_scores - ref_g["scores"]).max(),
+                  np.abs(got_bv - ref_g["boxes_bv"]).max()))
+    else:
+        print("  [skip] full-shape golden (no artifact or CPU run)",
+              flush=True)
 
     print(("ALL OK" if not failures else
            "FAILURES: " + ", ".join(failures)), flush=True)
