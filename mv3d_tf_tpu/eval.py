@@ -28,14 +28,14 @@ PIXEL_MEANS = np.array([95.8814, 98.7743, 93.8549], np.float32)  # config.py:211
 def _fused_stem(compute_dtype):
     """Whether to use the Pallas fused conv1 stem (ops/vgg_stem_pallas.py).
 
-    DISABLED (r2): the kernel silently mis-lowers on the current worker
-    Mosaic stack — tools/tpu_selfcheck.py check 4 measures rel 0.45 vs
-    the XLA path (one-ulp in r1; interpret mode still exact, so the
-    regression is in lowering, not kernel logic). Until the kernel is
-    fixed or the stack moves, the stem runs as plain XLA convs; the int8
-    quant path never used it. Re-enable ONLY when selfcheck 4 is green.
-    """
-    return False
+    The kernel mis-lowers ONLY for narrow inputs (half-width padding to a
+    single 128-lane tile, W <= 256 — bisected r2, rel 0.42 there vs bf16
+    tolerance at every shipping width); vgg_stem_pallas refuses those
+    shapes itself (stem_width_supported), and both detect-path widths
+    (601 BEV / 1248 image) are safe. tools/tpu_selfcheck.py check 4
+    guards the wide case and the narrow-refusal on every run."""
+    return (jax.default_backend() != "cpu"
+            and compute_dtype == jnp.bfloat16)
 
 
 def build_detect_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
@@ -127,8 +127,14 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
         image = image.astype(jnp.float32) - PIXEL_MEANS
         if qstate is not None:
             from mv3d_tf_tpu import quant as Q
+            # int8 trunks use the XLA bf16 stem: combining the Pallas
+            # stem kernel with the int8 conv chain in ONE fused graph
+            # faults the TPU worker on this stack (r2 — the same stem in
+            # the bf16 graph and the same int8 chain after an XLA stem
+            # are both fine; axon fragility class, cf. proposals.py NMS
+            # rules). Revisit if /tmp-level bisects start passing.
             fbv, s_bv, fim, s_im = Q.extract_features_int8(
-                params, qstate, bev, image, fused_stem=False)
+                params, qstate, bev, image, stem="bf16")
             c5 = (fbv.astype(jnp.bfloat16) * s_bv).astype(jnp.bfloat16)
             c5_2 = (fim.astype(jnp.bfloat16) * s_im).astype(jnp.bfloat16)
         else:

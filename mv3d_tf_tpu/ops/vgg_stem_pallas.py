@@ -40,6 +40,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 CP = 16  # padded input channels (sublane tile for bf16)
 
+# Mosaic mis-lowers this kernel when the half-width pads to a SINGLE
+# 128-lane tile (Wh == 128): measured rel ~0.42 vs the XLA path for any
+# W <= 256, while W >= 384-ish (Wh >= 256) agrees to bf16 tolerance on
+# the same stack (bisected r2; interpret mode is exact at every width,
+# so the bug is in lowering — most plausibly the lane-rotate used for
+# the conv taps on a one-tile buffer). Both shipping widths (BEV 601 ->
+# Wh 384, image 1248 -> Wh 640) are safe; narrow inputs must refuse
+# rather than silently corrupt.
+MIN_SAFE_W = 384
+
+
+def stem_width_supported(W):
+    """True if vgg_stem_pallas lowers correctly for this input width."""
+    return -(-((W + 1) // 2) // 128) * 128 >= 256
+
 
 def _prep_input(x, H_pad, Wh):
     """(B,H,W,Cin) -> (B,H_pad,2*CP,Wh) bf16: sublanes [0:CP] hold the
@@ -99,6 +114,11 @@ def vgg_stem_pallas(x, w1, b1, w2, b2, tile_rows=8, interpret=False):
       (B, H//2, W//2, 64) bfloat16.
     """
     B, H, W, Cin = x.shape
+    if not (interpret or stem_width_supported(W)):
+        raise ValueError(
+            "vgg_stem_pallas: W={} pads to a single 128-lane tile, which "
+            "the current Mosaic stack mis-lowers (see MIN_SAFE_W note); "
+            "use the XLA conv path for narrow inputs".format(W))
     H2, W2 = H // 2, W // 2
     We, Wo = (W + 1) // 2, W // 2      # valid even / odd column counts
     TR = tile_rows

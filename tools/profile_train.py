@@ -42,7 +42,10 @@ def main():
     from mv3d_tf_tpu.train import build_train_step
 
     rng = np.random.RandomState(0)
-    params = jax.device_put(mv3d.init_params(jax.random.PRNGKey(0)))
+    # host copy: the train step DONATES params/opt state, so each
+    # measure() must device_put a fresh copy (donating a shared device
+    # pytree deletes it for the next variant)
+    params = jax.tree.map(np.asarray, mv3d.init_params(jax.random.PRNGKey(0)))
 
     grid = get_anchor_grid(75, 75)
     inside = np.where(grid.inside)[0]
@@ -98,6 +101,38 @@ def main():
     full = measure("full")
     small_nms = measure("small_nms", pre_nms_top_n=512, post_nms_top_n=128)
     log("-> proposal/NMS budget share ~ {:.1f} ms".format(full - small_nms))
+
+    # forward-only: the losses WITHOUT grad/adam — the fwd/bwd split
+    fl = T.build_forward_losses(compute_dtype=jnp.bfloat16)
+    fwd = jax.jit(lambda p, b, k: fl(p, b, k)["loss"])
+    pd = jax.device_put(params)
+    t0 = time.perf_counter()
+    float(np.asarray(fwd(pd, batch, key)))
+    log("fwd_only: compile+1 {:.1f}s".format(time.perf_counter() - t0))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = fwd(pd, batch, key)
+    float(np.asarray(out))
+    fwd_ms = (time.perf_counter() - t0) / args.iters * 1000
+    log("fwd_only: {:.1f} ms/iter".format(fwd_ms))
+    log("-> backward+adam share ~ {:.1f} ms".format(full - fwd_ms))
+    del pd
+
+    # no-trunk-grad: stop_gradient after feature extraction — the delta
+    # vs full is the trunk backward cost
+    from mv3d_tf_tpu.models import mv3d as M
+    orig_ef = M.extract_features
+
+    def ef_sg(*a, **kw):
+        c5, c5_2 = orig_ef(*a, **kw)
+        return jax.lax.stop_gradient(c5), jax.lax.stop_gradient(c5_2)
+
+    M.extract_features = ef_sg
+    try:
+        no_tg = measure("no_trunk_grad")
+    finally:
+        M.extract_features = orig_ef
+    log("-> trunk backward share ~ {:.1f} ms".format(full - no_tg))
 
     # XLA pool variant: patch build_forward_losses' pool choice
     orig = T.build_forward_losses

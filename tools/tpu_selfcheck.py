@@ -103,9 +103,13 @@ def main():
           "(max diff {:.2e})".format(np.abs(g_pal - g_xla).max()))
 
     # --- 4. fused VGG stem ---------------------------------------------------
+    # WIDE shape (Wh >= 256): must be bf16-close. Narrow widths (W<=256,
+    # half-width = one 128-lane tile) mis-lower on the current Mosaic
+    # stack (rel ~0.42, bisected r2) — the kernel must REFUSE them so the
+    # XLA fallback runs instead; both are guarded here.
     from mv3d_tf_tpu.models import vgg
     from mv3d_tf_tpu.ops.vgg_stem_pallas import vgg_stem_pallas
-    x = rng.rand(2, 120, 200, 9).astype(np.float32)
+    x = rng.rand(2, 120, 601, 9).astype(np.float32)
     w1 = (rng.rand(3, 3, 9, 64).astype(np.float32) - 0.5) * 0.2
     b1 = rng.rand(64).astype(np.float32) * 0.1
     w2 = (rng.rand(3, 3, 64, 64).astype(np.float32) - 0.5) * 0.2
@@ -119,17 +123,17 @@ def main():
         jnp.asarray(x), jnp.asarray(w1), jnp.asarray(b1),
         jnp.asarray(w2), jnp.asarray(b2), tile_rows=10), np.float32)
     rel = np.abs(ref_s - got_s).max() / max(np.abs(ref_s).max(), 1e-6)
-    from mv3d_tf_tpu.eval import _fused_stem
-    stem_enabled = _fused_stem(jnp.bfloat16)
-    if stem_enabled:
-        check("vgg stem vs XLA (bf16 one-ulp)", rel <= 2 ** -7,
-              "(rel {:.2e})".format(rel))
-    else:
-        # the stem is disabled in the shipping path (r2: Mosaic lowering
-        # regression, rel ~0.45 on this stack) — report, don't fail; if
-        # this line ever shows a SMALL rel again, re-enable _fused_stem
-        print("  [off] vgg stem kernel disabled in shipping path "
-              "(rel {:.2e} vs XLA here)".format(rel), flush=True)
+    check("vgg stem vs XLA, wide (bf16-close)", rel <= 2 ** -7,
+          "(rel {:.2e})".format(rel))
+    try:
+        vgg_stem_pallas(jnp.asarray(x[:, :, :200]), jnp.asarray(w1),
+                        jnp.asarray(b1), jnp.asarray(w2), jnp.asarray(b2),
+                        tile_rows=10)
+        narrow_refused = False
+    except ValueError:
+        narrow_refused = True
+    check("vgg stem refuses narrow width (Mosaic bug guard)",
+          narrow_refused)
 
     # --- 5. axon NMS construction rules (VERDICT r1 #6) ----------------------
     # Two documented failure modes on this platform (proposals.py:85-100,
