@@ -235,10 +235,25 @@ class KittiMV3D(Imdb):
                 np.save(osp.join(path, index + ".npy"), np.asarray(objs))
         return path
 
-    def evaluate_detections(self, all_boxes, all_boxes3D, output_dir=None):
+    def evaluate_detections(self, all_boxes, all_boxes3D, output_dir=None,
+                            all_boxes_cnr_r=None):
         """Writes KITTI result files AND computes BEV AP (the reference's
         AP eval binary is absent and its call commented out,
-        kitti_mv3d.py:397-401 — kitti_eval.py is our working evaluator)."""
+        kitti_mv3d.py:397-401 — kitti_eval.py is our working evaluator).
+
+        The parity-mode official table scores the UNREGRESSED detection
+        corners, exactly what the reference pickles (test_mv.py:434,489 —
+        cls_dets_cnr; the regressed cls_dets_cnr_r is only ever rendered
+        in mayavi). Those corners are axis-aligned lidar boxes at the
+        car's true l/w (rois_3d), so against YAWED gt corners both the
+        projected 2D box and the 3D aabb are systematically undersized —
+        official 2d/3d AP @0.7 collapse by construction, while BEV @0.5
+        stays healthy (measured: 2d-hard 0.03 / 3d 0.00 vs BEV@0.5 0.84
+        at iter 2000 on the synthetic val). Passing all_boxes_cnr_r
+        prints a second, quality-mode table on the stage-2 REGRESSED
+        corners (free-form 24-dof, can represent yaw) with the
+        translation-keeping projection — the MV3D design's actual 3D
+        output."""
         path = self._write_kitti_results_file(all_boxes, all_boxes3D)
         if self._image_set != "test":
             from mv3d_tf_tpu.data.kitti_eval import (evaluate_kitti_bev,
@@ -249,6 +264,11 @@ class KittiMV3D(Imdb):
                     thresh, res["ap"], res["num_gt"]))
             if all_boxes3D is not None:
                 evaluate_kitti_official(self, all_boxes, all_boxes3D)
+            if all_boxes_cnr_r is not None:
+                evaluate_kitti_official(
+                    self, all_boxes, all_boxes_cnr_r,
+                    projection="proper", derive_bev_from_corners=True,
+                    label="quality mode (regressed corners)")
         return path
 
 

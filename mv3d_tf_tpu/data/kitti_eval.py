@@ -157,6 +157,21 @@ def _lidar_cnr_to_img_np(corners, Tr, R0, P2, legacy=True):
     return np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], 1)
 
 
+def _corners_to_bv_np(cnr):
+    """Numpy twin of geometry.corners_to_bv for ONE class: (N,24) lidar
+    corners -> (N,4) BEV pixel boxes (footprint through lidar_to_bv_coord;
+    same rationale as iou_2d for staying off the device)."""
+    from mv3d_tf_tpu.geometry import RES, TOP_X_MIN, TOP_Y_MIN, Xn, Yn
+    c = np.asarray(cnr, np.float32).reshape(-1, 24)
+    xmin, xmax = c[:, 0:8].min(1), c[:, 0:8].max(1)
+    ymin, ymax = c[:, 8:16].min(1), c[:, 8:16].max(1)
+    x1 = Yn - np.floor((ymax - TOP_Y_MIN) / RES)
+    y1 = Xn - np.floor((xmax - TOP_X_MIN) / RES)
+    x2 = Yn - np.floor((ymin - TOP_Y_MIN) / RES)
+    y2 = Xn - np.floor((xmin - TOP_X_MIN) / RES)
+    return np.stack([x1, y1, x2, y2], axis=1).astype(np.float32)
+
+
 def corners_to_aabb3d(cnr):
     """(N,24) corner sets (x0..7, y0..7, z0..7) -> (N,6) aabb."""
     cnr = np.asarray(cnr, np.float32).reshape(-1, 3, 8)
@@ -243,7 +258,8 @@ def evaluate_ap_difficulty(frames, iou_thresh, difficulty):
 def evaluate_kitti_official(imdb, all_boxes, all_boxes_cnr, cls_ind=1,
                             iou_2d_thresh=0.7, iou_bev_thresh=0.7,
                             iou_3d_thresh=0.7, log=print,
-                            projection="legacy"):
+                            projection="legacy",
+                            derive_bev_from_corners=False, label=None):
     """The 3 metric x 3 difficulty AP table for one class.
 
     all_boxes[cls][i]: (N,5) BEV dets [x1,y1,x2,y2,score];
@@ -256,6 +272,15 @@ def evaluate_kitti_official(imdb, all_boxes, all_boxes_cnr, cls_ind=1,
     lidar_cnr_to_img (transform.py:483-500, parity mode — offsets every
     2D det box by a few px vs properly-projected gt); "proper" uses the
     standard KITTI chain (geometry.lidar_cnr_to_img_full, quality mode).
+
+    derive_bev_from_corners recomputes each BEV det — AND each BEV gt —
+    from the corner sets' footprints (corners_to_bv semantics) instead of
+    trusting all_boxes / roidb boxes_bv. Needed when scoring REGRESSED
+    corners: their footprint differs from the proposal boxes all_boxes
+    holds, and a yawed car's corner footprint is wider than its l/w box
+    (gt boxes_bv comes from lidar_3d_to_bv), so footprint must compare
+    against footprint. Scores still come from all_boxes (same keep set).
+    label overrides the printed header.
     """
     import functools
 
@@ -273,6 +298,9 @@ def evaluate_kitti_official(imdb, all_boxes, all_boxes_cnr, cls_ind=1,
         cnr = np.asarray(all_boxes_cnr[cls_ind][i],
                          np.float32).reshape(-1, 25)
         scores = bev[:, 4]
+        if derive_bev_from_corners and len(cnr):
+            bev = np.concatenate(
+                [_corners_to_bv_np(cnr[:, :24]), scores[:, None]], axis=1)
         if len(cnr):
             img_boxes = np.asarray(proj(
                 cnr[:, :24], calib[3], calib[2], calib[0]), np.float32)
@@ -284,9 +312,11 @@ def evaluate_kitti_official(imdb, all_boxes, all_boxes_cnr, cls_ind=1,
         frames_2d.append({"dets": img_boxes, "scores": scores,
                           "det_heights": det_h, "gts": g2,
                           "levels": levels, "iou": iou_2d})
+        gt_bv = (entry["boxes_bv"][m] if not derive_bev_from_corners
+                 else _corners_to_bv_np(entry["boxes_corners"][m]))
         frames_bev.append({"dets": bev[:, :4], "scores": scores,
                            "det_heights": det_h,
-                           "gts": entry["boxes_bv"][m],
+                           "gts": gt_bv,
                            "levels": levels, "iou": iou_2d})
         frames_3d.append({"dets": corners_to_aabb3d(cnr[:, :24]),
                           "scores": scores, "det_heights": det_h,
@@ -302,8 +332,9 @@ def evaluate_kitti_official(imdb, all_boxes, all_boxes_cnr, cls_ind=1,
         for diff in ("easy", "moderate", "hard"):
             res = evaluate_ap_difficulty(frames, thr, diff)
             table[metric][diff] = res["ap"]
-    log("KITTI official-protocol AP (car, R40, IoU {:.2f}/{:.2f}/{:.2f}):"
-        .format(iou_2d_thresh, iou_bev_thresh, iou_3d_thresh))
+    log("KITTI official-protocol AP{} (car, R40, IoU {:.2f}/{:.2f}/{:.2f}):"
+        .format(", " + label if label else "",
+                iou_2d_thresh, iou_bev_thresh, iou_3d_thresh))
     log("  {:>9s} {:>8s} {:>8s} {:>8s}".format(
         "metric", "easy", "moderate", "hard"))
     for metric in ("2d", "bev", "3d"):

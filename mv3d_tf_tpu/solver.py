@@ -155,6 +155,11 @@ def test_net(params, imdb, weights_filename="default", max_per_image=300,
     k = imdb.num_classes
     all_boxes = [[[] for _ in range(num_images)] for _ in range(k)]
     all_boxes_cnr = [[[] for _ in range(num_images)] for _ in range(k)]
+    # regressed corners (bbox_transform_inv_cnr) — the reference computes
+    # them (test_mv.py:257) but only renders them in mayavi, pickling the
+    # unregressed set; we keep both so quality-mode eval can score the
+    # stage-2 corner regression (see kitti.evaluate_detections)
+    all_boxes_cnr_r = [[[] for _ in range(num_images)] for _ in range(k)]
     output_dir = get_output_dir(imdb, weights_filename)
 
     # Host-resident (numpy) params would re-transfer ~500 MB per detect
@@ -177,6 +182,7 @@ def test_net(params, imdb, weights_filename="default", max_per_image=300,
             for j, (dets_bv, dets_cnr, dets_cnr_r) in per_cls.items():
                 all_boxes[j][i] = dets_bv
                 all_boxes_cnr[j][i] = dets_cnr
+                all_boxes_cnr_r[j][i] = dets_cnr_r
 
     timer = Timer()
     if detect_fn is not None:
@@ -263,9 +269,17 @@ def test_net(params, imdb, weights_filename="default", max_per_image=300,
         pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
     with open(os.path.join(output_dir, "detections_cnr.pkl"), "wb") as f:
         pickle.dump(all_boxes_cnr, f, pickle.HIGHEST_PROTOCOL)
+    with open(os.path.join(output_dir, "detections_cnr_r.pkl"), "wb") as f:
+        pickle.dump(all_boxes_cnr_r, f, pickle.HIGHEST_PROTOCOL)
 
     log("Evaluating detections")
-    imdb.evaluate_detections(all_boxes, all_boxes_cnr, output_dir)
+    import inspect
+    if "all_boxes_cnr_r" in inspect.signature(
+            imdb.evaluate_detections).parameters:
+        imdb.evaluate_detections(all_boxes, all_boxes_cnr, output_dir,
+                                 all_boxes_cnr_r=all_boxes_cnr_r)
+    else:               # imdbs without the quality-mode kwarg
+        imdb.evaluate_detections(all_boxes, all_boxes_cnr, output_dir)
     return all_boxes, all_boxes_cnr
 
 

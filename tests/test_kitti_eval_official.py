@@ -115,3 +115,58 @@ def test_official_table_on_synthetic_imdb(tmp_path):
             assert ap in (0.0, 1.0) or 0 <= ap <= 1
         # hard bucket includes every labeled car -> must be perfect
         assert table[metric]["hard"] == 1.0, (metric, table)
+
+
+def test_quality_mode_regressed_corner_table(tmp_path):
+    """The quality-mode table (derive_bev_from_corners + proper
+    projection) scores gt-perfect REGRESSED corners at AP 1.0 even when
+    the parity-mode inputs (axis-aligned unregressed boxes) would not —
+    the structural cause of the near-zero official 2d/3d AP
+    (kitti.evaluate_detections docstring)."""
+    from mv3d_tf_tpu.data import synthetic
+    from mv3d_tf_tpu.data.kitti import KittiMV3D
+    from mv3d_tf_tpu.data.kitti_eval import (_corners_to_bv_np,
+                                             evaluate_kitti_official)
+
+    root = tmp_path / "kitti"
+    synthetic.generate(str(root), num_frames=3, cars_per_frame=2, seed=5,
+                       splits=("train",))
+    imdb = KittiMV3D("train", kitti_path=str(root))
+    imdb._roidb = [imdb._load_kitti_annotation(idx)
+                   for idx in imdb._image_index]
+
+    all_boxes = [[], []]      # deliberately WRONG bev boxes (all zeros)
+    all_cnr_r = [[], []]      # gt corners = perfect corner regression
+    for i in range(imdb.num_images):
+        e = imdb.roidb[i]
+        m = e["gt_classes"] == 1
+        n = int(m.sum())
+        scores = np.linspace(0.9, 0.5, n)[:, None].astype(np.float32)
+        all_boxes[1].append(np.hstack(
+            [np.zeros((n, 4), np.float32), scores]))
+        all_cnr_r[1].append(np.hstack([e["boxes_corners"][m], scores]))
+        all_boxes[0].append(np.zeros((0, 5), np.float32))
+        all_cnr_r[0].append(np.zeros((0, 25), np.float32))
+
+    # parity path on the zeroed bev boxes: bev AP must be 0
+    t0 = evaluate_kitti_official(imdb, all_boxes, all_cnr_r)
+    assert t0["bev"]["hard"] == 0.0
+    # quality mode re-derives bev from the corners -> perfect
+    t1 = evaluate_kitti_official(imdb, all_boxes, all_cnr_r,
+                                 projection="proper",
+                                 derive_bev_from_corners=True,
+                                 label="quality mode (regressed corners)")
+    for metric in ("2d", "bev", "3d"):
+        assert t1[metric]["hard"] == 1.0, (metric, t1)
+
+
+def test_corners_to_bv_np_twin():
+    from mv3d_tf_tpu import geometry as G
+    from mv3d_tf_tpu.data.kitti_eval import _corners_to_bv_np
+    rng = np.random.RandomState(0)
+    cnr = np.zeros((7, 24), np.float32)
+    cnr[:, 0:8] = rng.rand(7, 8) * 50
+    cnr[:, 8:16] = rng.rand(7, 8) * 40 - 20
+    cnr[:, 16:24] = rng.rand(7, 8) * 2 - 2
+    assert np.abs(_corners_to_bv_np(cnr)
+                  - np.asarray(G.corners_to_bv(cnr))).max() == 0.0

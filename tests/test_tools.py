@@ -88,10 +88,17 @@ def test_experiment_script_exists():
     sh = osp.join(REPO, "experiments", "scripts", "mv3d.sh")
     assert osp.exists(sh)
     yml = osp.join(REPO, "experiments", "cfgs", "faster_rcnn_end2end.yml")
+    import copy
     from mv3d_tf_tpu.config import AttrDict, cfg_from_file, cfg
-    old = cfg.TEST.RPN_POST_NMS_TOP_N
-    cfg_from_file(yml)
-    assert cfg.TEST.RPN_POST_NMS_TOP_N == 300
-    assert cfg.TEST.NMS == 0.1
-    assert cfg.TRAIN.FG_THRESH == 0.7
-    cfg.TEST.RPN_POST_NMS_TOP_N = old
+    # restore the WHOLE tree: the yml also sets EXP_DIR/NMS/FG_THRESH,
+    # and a leaked EXP_DIR redirects get_output_dir for every later test
+    # (broke test_multihost's shard merge when run after this file)
+    snap = copy.deepcopy(dict(cfg))
+    try:
+        cfg_from_file(yml)
+        assert cfg.TEST.RPN_POST_NMS_TOP_N == 300
+        assert cfg.TEST.NMS == 0.1
+        assert cfg.TRAIN.FG_THRESH == 0.7
+    finally:
+        cfg.clear()
+        cfg.update(snap)
