@@ -20,6 +20,7 @@ import time
 import numpy as np
 
 from mv3d_tf_tpu import geometry as G
+from mv3d_tf_tpu import geometry_np as Gnp
 from mv3d_tf_tpu.config import cfg
 from mv3d_tf_tpu.data.imdb_base import Imdb
 
@@ -175,17 +176,21 @@ class KittiMV3D(Imdb):
             entry["alphas"][ix] = alpha
             entry["xyz"][ix] = [tx, ty, tz]
             entry["boxes"][ix] = [x1, y1, x2, y2]
+            # numpy geometry twins: the reference loader is numpy
+            # (kitti_mv3d.py:195-306), and jnp here costs one device
+            # round-trip per box — a 20+ min stall on 1000-frame roidbs
+            # over the axon tunnel (geometry_np.py rationale)
             cam_box = np.array([tx, ty, tz, l, w, h], np.float32)
             entry["boxes_3D_cam"][ix] = cam_box
-            cam_cnr = np.asarray(G.compute_corners_3d(cam_box, ry))
+            cam_cnr = Gnp.compute_corners_3d_np(cam_box, ry)
             entry["boxes3D_cam_corners"][ix] = cam_cnr.reshape(24)
-            lidar_cnr = np.asarray(G.camera_to_lidar_cnr(cam_cnr, Tr))[0]
+            lidar_cnr = Gnp.camera_to_lidar_cnr_np(cam_cnr, Tr)[0]
             entry["boxes_corners"][ix] = lidar_cnr
-            lidar_3d = np.asarray(
-                G.lidar_cnr_to_3d(lidar_cnr, entry["lwh"][ix]))[0]
+            lidar_3d = Gnp.lidar_cnr_to_3d_np(lidar_cnr,
+                                              entry["lwh"][ix])[0]
             entry["boxes_3D"][ix] = lidar_3d
-            entry["boxes_bv"][ix] = np.asarray(
-                G.lidar_3d_to_bv(lidar_3d[None]))[0]
+            entry["boxes_bv"][ix] = Gnp.lidar_3d_to_bv_np(
+                lidar_3d[None])[0]
             entry["gt_classes"][ix] = cls
             entry["gt_overlaps"][ix, cls] = 1.0
         return entry

@@ -17,6 +17,7 @@ import os.path as osp
 import numpy as np
 
 from mv3d_tf_tpu import geometry as G
+from mv3d_tf_tpu import geometry_np as Gnp
 from mv3d_tf_tpu.data.imdb_base import Imdb
 
 
@@ -68,8 +69,8 @@ class KittiRaw(Imdb):
             lwh = np.stack([c[:, 0].max(1) - c[:, 0].min(1),
                             c[:, 1].max(1) - c[:, 1].min(1),
                             c[:, 2].max(1) - c[:, 2].min(1)], axis=1)
-            boxes_3d = np.asarray(G.lidar_cnr_to_3d(corners, lwh))
-            boxes_bv = np.asarray(G.lidar_3d_to_bv(boxes_3d))
+            boxes_3d = Gnp.lidar_cnr_to_3d_np(corners, lwh)
+            boxes_bv = Gnp.lidar_3d_to_bv_np(boxes_3d[:, :6])
             roidb.append({
                 "boxes_corners": corners.astype(np.float32),
                 "boxes_3D": boxes_3d.astype(np.float32),

@@ -17,6 +17,7 @@ import os.path as osp
 import numpy as np
 
 from mv3d_tf_tpu import geometry as G
+from mv3d_tf_tpu import geometry_np as Gnp
 from mv3d_tf_tpu.ops.bev import point_cloud_2_top_np
 
 # canonical calib (velodyne x-forward -> camera z-forward, zero translation
@@ -33,9 +34,11 @@ TR_VELO2CAM = np.array([[0.0, -1.0, 0.0, 0.0],
 def _cam_to_lidar_box(cam_box, ry):
     """Camera box -> lidar corners + 3d box via the SAME legacy pipeline
     the annotation loader uses."""
-    cam_cnr = np.asarray(G.compute_corners_3d(cam_box, ry))
-    lidar_cnr = np.asarray(G.camera_to_lidar_cnr(cam_cnr, TR_VELO2CAM))[0]
-    lidar_3d = np.asarray(G.lidar_cnr_to_3d(lidar_cnr, cam_box[3:6]))[0]
+    # numpy twins: per-box jnp calls pay a device RPC each on the axon
+    # tunnel (geometry_np.py rationale)
+    cam_cnr = Gnp.compute_corners_3d_np(cam_box, ry)
+    lidar_cnr = Gnp.camera_to_lidar_cnr_np(cam_cnr, TR_VELO2CAM)[0]
+    lidar_3d = Gnp.lidar_cnr_to_3d_np(lidar_cnr, cam_box[3:6])[0]
     return cam_cnr, lidar_cnr, lidar_3d
 
 

@@ -98,7 +98,8 @@ def build_detect_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
 
 def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
                           post_nms_top_n=300, rpn_nms_thresh=0.7,
-                          compute_dtype=None, quant=None):
+                          compute_dtype=None, quant=None,
+                          quant_conv_impl="xla"):
     """Natively batched multi-frame detector (throughput path).
 
     Trunks/RPN/fusion-head run as ONE batched computation (bigger MXU
@@ -134,7 +135,8 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
             # are both fine; axon fragility class, cf. proposals.py NMS
             # rules). Revisit if /tmp-level bisects start passing.
             fbv, s_bv, fim, s_im = Q.extract_features_int8(
-                params, qstate, bev, image, stem="bf16")
+                params, qstate, bev, image, stem="bf16",
+                conv_impl=quant_conv_impl)
             c5 = (fbv.astype(jnp.bfloat16) * s_bv).astype(jnp.bfloat16)
             c5_2 = (fim.astype(jnp.bfloat16) * s_im).astype(jnp.bfloat16)
         else:

@@ -1,0 +1,187 @@
+"""Fused int8 3x3 conv (+ bias + ReLU + requantize) as a Pallas TPU
+kernel — the MXU-saturating twin of quant._conv_requant.
+
+Why: XLA's s8 convolutions deliver only ~93-119 TOP/s on this stack
+(tools/microbench_int8.py) — ~25-30% of the v5e's 394 TOPS int8 peak —
+and the requant epilogue costs extra VPU passes over the full-res s32
+intermediate in HBM. One Pallas kernel per conv keeps the s32
+accumulator in registers/VMEM, runs the epilogue as one FMA+clip while
+the MXU streams the next tap matmul, and writes only the s8 output.
+
+Semantics (bit-matched to quant._conv_requant, tests/test_conv_s8.py):
+  y32 = conv3x3_SAME(x_q, w_q)           s8 x s8 -> s32
+  y   = clip(round(y32 * k + b), 0, 127) .astype(int8)
+with k = s_in*s_w/s_out (per output channel), b = bias/s_out.
+
+Layout (per grid step = one frame x TH output rows):
+  * activations ride NHWC with C on lanes (128-multiple), W on
+    sublanes;
+  * the row halo comes from three auto-pipelined views of the same
+    input (the vgg_stem_pallas trick);
+  * the three column taps use three v-shifted copies of the haloed
+    row tile made ONCE per grid step (static sublane-offset slices);
+    every MXU dot is then a clean (W, C) @ (C, K) with no per-row
+    shuffling;
+  * 9 accumulated dot_generals per output row, s32 accumulation,
+    f32 epilogue, s8 store.
+
+Reference lineage: the conv stack lib/networks/MV3D_train.py:44-78;
+quantization is a new TPU-motivated capability (see quant.py).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ceil_to(x, m):
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_rows", "interpret", "out_dtype"))
+def conv3x3_s8_pallas(x, w, k, b, tile_rows=8, interpret=False,
+                      out_dtype=jnp.int8):
+    """Fused s8 3x3 SAME conv + requant epilogue.
+
+    Args:
+      x: (B, H, W, C) int8, C a multiple of 128.
+      w: (3, 3, C, K) int8, K a multiple of 128.
+      k: (K,) float32 requant scale (s_in * s_w / s_out).
+      b: (K,) float32 requant bias (bias / s_out).
+      tile_rows: output rows per grid step.
+    Returns:
+      (B, H, W, K) int8 (clip(round(y32*k+b), 0, 127)); out_dtype=f32
+      returns the UNCLIPPED relu(y32*k+b)*1.0 path for the last layer.
+    """
+    B, H, W, C = x.shape
+    K = w.shape[-1]
+    assert C % 128 == 0 and K % 128 == 0, (C, K)
+    TH = tile_rows
+    grid_r = -(-H // TH)
+    H_pad = TH * grid_r
+
+    # pre-pad: data row g lives at xp row g+TH, so the 1-row halo of the
+    # tile starting at data row rr*TH is exactly the LAST row of row-block
+    # rr and the FIRST row of row-block rr+2 (prev/cur/next views below);
+    # one zero halo column each side, W padded to the s8 sublane tile
+    Wp = _ceil_to(W + 2, 32)
+    xp = jnp.pad(x, ((0, 0), (TH, TH + H_pad - H), (1, Wp - W - 1),
+                     (0, 0)))
+    assert xp.shape[1] == (grid_r + 2) * TH
+
+    wf = w.reshape(9, C, K)
+    kf = k.reshape(1, K).astype(jnp.float32)
+    bf = b.reshape(1, K).astype(jnp.float32)
+
+    def kernel(prev_ref, cur_ref, nxt_ref, w_ref, k_ref, b_ref, out_ref,
+               xs_ref):
+        # assemble the haloed tile's three v-shifted copies:
+        # xs[v, i, :, :] = xp_rows[tile_start - 1 + i, v : v + W, :]
+        # where i in [0, TH+2)
+        for v in range(3):
+            xs_ref[v, 0] = prev_ref[0, TH - 1, v:v + W, :]
+            xs_ref[v, 1:TH + 1] = cur_ref[0, :, v:v + W, :]
+            xs_ref[v, TH + 1] = nxt_ref[0, 0, v:v + W, :]
+
+        def body(r, _):
+            acc = jnp.zeros((W, K), jnp.int32)
+            for u in range(3):
+                for v in range(3):
+                    acc += jax.lax.dot_general(
+                        xs_ref[v, r + u], w_ref[u * 3 + v],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * k_ref[:] + b_ref[:]
+            if out_dtype == jnp.int8:
+                y = jnp.clip(jnp.round(y), 0, 127)
+            else:
+                y = jnp.maximum(y, 0.0)
+            out_ref[0, r] = y.astype(out_dtype)
+            return 0
+
+        jax.lax.fori_loop(0, TH, body, 0, unroll=True)
+
+    grid = (B, grid_r)
+    in_specs = [
+        pl.BlockSpec((1, TH, Wp, C), lambda bb, rr: (bb, rr, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TH, Wp, C), lambda bb, rr: (bb, rr + 1, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TH, Wp, C), lambda bb, rr: (bb, rr + 2, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, C, K), lambda bb, rr: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K), lambda bb, rr: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K), lambda bb, rr: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec((1, TH, W, K), lambda bb, rr: (bb, rr, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=jax.ShapeDtypeStruct((B, H_pad, W, K), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((3, TH + 2, W, C), jnp.int8),
+        ],
+        interpret=interpret,
+    )(xp, xp, xp, wf, kf, bf)
+    return y[:, :H]
+
+
+def conv_requant_pallas(x_q, p, tile_rows=8, interpret=None):
+    """Drop-in twin of quant._conv_requant on the Pallas kernel.
+
+    interpret=None auto-selects interpret mode off-TPU (CPU tests)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    kk = (p["s_in"] * p["s_w"] / p["s_out"]).astype(jnp.float32)
+    bb = (p["bias"] / p["s_out"]).astype(jnp.float32)
+    return conv3x3_s8_pallas(x_q, p["w_q"], kk, bb, tile_rows=tile_rows,
+                             interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# s8 matmul ceiling probe (tools/microbench_int8.py --pallas)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("bm", "bk", "bn", "interpret"))
+def matmul_s8_pallas(a, b, bm=512, bk=1024, bn=512, interpret=False):
+    """Tiled s8 x s8 -> s32 matmul; measures the practical int8 MXU
+    ceiling on this stack independent of XLA's conv lowering."""
+    M, Kd = a.shape
+    _, N = b.shape
+
+    def kernel(a_ref, b_ref, o_ref, acc_ref):
+        @pl.when(pl.program_id(2) == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += jax.lax.dot_general(
+            a_ref[...], b_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+        @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+        def _done():
+            o_ref[...] = acc_ref[...]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(M // bm, N // bn, Kd // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        interpret=interpret,
+    )(a, b)

@@ -142,18 +142,40 @@ def trunk_apply_int8(qtrunk, x, input_scale=None):
     return x, qtrunk[vgg.VGG_LAYERS[-1][0]]["s_out"]
 
 
-def trunk_apply_int8_from_stem(qtrunk, stem_out_bf16):
+def trunk_apply_int8_from_stem(qtrunk, stem_out_bf16, conv_impl="xla"):
     """Continue the int8 trunk from a bf16 stem output (conv1_2+pool1
     already applied): quantize with conv1_2's output scale and run
-    conv2_1 .. conv5_3."""
+    conv2_1 .. conv5_3.
+
+    conv_impl="pallas" runs every conv whose channel dims are multiples
+    of the s8 MXU tile (128 — all but conv2_1's 64-channel input)
+    through the fused Pallas kernel (ops/conv_s8_pallas.py); "xla" is
+    the lax.conv path. Both compute the identical _conv_requant math.
+    """
     s = qtrunk["conv1_2"]["s_out"]
     x = jnp.clip(jnp.round(stem_out_bf16.astype(jnp.float32) / s),
                  0, 127).astype(jnp.int8)
     for name, _, pool in vgg.VGG_LAYERS[2:]:
-        x = _conv_requant(x, qtrunk[name])
+        p = qtrunk[name]
+        cin, cout = p["w_q"].shape[2], p["w_q"].shape[3]
+        if conv_impl == "pallas" and cin % 128 == 0 and cout % 128 == 0:
+            from mv3d_tf_tpu.ops.conv_s8_pallas import conv_requant_pallas
+            x = conv_requant_pallas(x, p, tile_rows=_s8_tile_rows(
+                x.shape[1]))
+        else:
+            x = _conv_requant(x, p)
         if pool:
             x = vgg.max_pool_2x2_valid(x)
     return x, qtrunk[vgg.VGG_LAYERS[-1][0]]["s_out"]
+
+
+def _s8_tile_rows(H):
+    """Rows per Pallas conv grid step: a divisor keeps the row grid
+    exact (no wasted tail compute); prefer ~8."""
+    for tr in (8, 10, 6, 12, 5, 4, 9, 7, 3):
+        if H % tr == 0:
+            return tr
+    return 8
 
 
 # ---------------------------------------------------------------------------
@@ -269,7 +291,7 @@ def _bf16_stem(params, x, suffix=""):
 
 
 def extract_features_int8(params, quant, bev, image, fused_stem=False,
-                          stem="bf16"):
+                          stem="bf16", conv_impl="xla"):
     """Quantized twin of mv3d.extract_features.
 
     stem selects how conv1_1/conv1_2/pool1 run before the int8
@@ -304,7 +326,9 @@ def extract_features_int8(params, quant, bev, image, fused_stem=False,
     else:
         stem_bv = _bf16_stem(params, bev, suffix="")
         stem_img = _bf16_stem(params, image, suffix="_2")
-    feat_bv, s_bv = trunk_apply_int8_from_stem(quant["trunk_bv"], stem_bv)
+    feat_bv, s_bv = trunk_apply_int8_from_stem(quant["trunk_bv"], stem_bv,
+                                               conv_impl=conv_impl)
     feat_img, s_img = trunk_apply_int8_from_stem(quant["trunk_img"],
-                                                 stem_img)
+                                                 stem_img,
+                                                 conv_impl=conv_impl)
     return feat_bv, s_bv, feat_img, s_img
