@@ -90,8 +90,11 @@ def main():
     from mv3d_tf_tpu import quant as Q
     from mv3d_tf_tpu.eval import PIXEL_MEANS
     t0 = time.perf_counter()
-    qs = Q.build_quant_state(params, np.asarray(bev),
-                             np.asarray(image) - PIXEL_MEANS)
+    img_ms = np.asarray(image) - PIXEL_MEANS
+    pool_bv, pool_img = Q.calibrate_pooled_features(
+        params, np.asarray(bev), img_ms, np.asarray(calib))
+    qs = Q.build_quant_state(params, np.asarray(bev), img_ms,
+                             pooled_bv=pool_bv, pooled_img=pool_img)
     detect_q = build_detect_batch_fn(compute_dtype=jnp.bfloat16, quant=qs)
     out = detect_q(params, bev, image, calib)
     barrier(out["scores"])

@@ -99,7 +99,7 @@ def build_detect_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
 def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
                           post_nms_top_n=300, rpn_nms_thresh=0.7,
                           compute_dtype=None, quant=None,
-                          quant_conv_impl="xla"):
+                          quant_conv_impl="xla", stem_impl=None):
     """Natively batched multi-frame detector (throughput path).
 
     Trunks/RPN/fusion-head run as ONE batched computation (bigger MXU
@@ -135,14 +135,17 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
             # are both fine; axon fragility class, cf. proposals.py NMS
             # rules). Revisit if /tmp-level bisects start passing.
             fbv, s_bv, fim, s_im = Q.extract_features_int8(
-                params, qstate, bev, image, stem="bf16",
+                params, qstate, bev, image,
+                stem=(stem_impl or "bf16"),
                 conv_impl=quant_conv_impl)
             c5 = (fbv.astype(jnp.bfloat16) * s_bv).astype(jnp.bfloat16)
             c5_2 = (fim.astype(jnp.bfloat16) * s_im).astype(jnp.bfloat16)
         else:
+            si = stem_impl
+            if si is None and _fused_stem(compute_dtype):
+                si = "pallas"
             c5, c5_2 = mv3d.extract_features(
-                params, bev, image, dtype=compute_dtype,
-                fused_stem=_fused_stem(compute_dtype))
+                params, bev, image, dtype=compute_dtype, stem_impl=si)
         rpn_cls, rpn_box = mv3d.rpn_head(params, c5, dtype=head_dtype)
         prob = mv3d.rpn_probs(rpn_cls)
 

@@ -92,12 +92,13 @@ def dropout(key, x, keep_prob):
     return jnp.where(mask, x / keep_prob, 0.0)
 
 
-def extract_features(params, bev, image, dtype=None, fused_stem=False):
+def extract_features(params, bev, image, dtype=None, fused_stem=False,
+                     stem_impl=None):
     """Both trunks: (B,601,601,9) & (B,H,W,3) -> stride-8 conv5_3 maps."""
     conv5_3 = vgg.trunk_apply(params, bev, suffix="", dtype=dtype,
-                              fused_stem=fused_stem)
+                              fused_stem=fused_stem, stem_impl=stem_impl)
     conv5_3_2 = vgg.trunk_apply(params, image, suffix="_2", dtype=dtype,
-                                fused_stem=fused_stem)
+                                fused_stem=fused_stem, stem_impl=stem_impl)
     return conv5_3, conv5_3_2
 
 

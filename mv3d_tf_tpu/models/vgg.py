@@ -73,15 +73,22 @@ def init_trunk(key, in_channels, suffix=""):
     return params
 
 
-def trunk_apply(params, x, suffix="", dtype=None, fused_stem=False):
+def trunk_apply(params, x, suffix="", dtype=None, fused_stem=False,
+                stem_impl=None):
     """Run the 13-conv stride-8 trunk. Returns conv5_3 features (NHWC).
 
-    fused_stem=True runs conv1_1+conv1_2+pool1 as one Pallas VMEM kernel
-    (inference-only fast path — no VJP; the stem is HBM-bound under XLA,
-    see ops/vgg_stem_pallas.py). Requires dtype=bfloat16 on TPU.
+    stem_impl selects how conv1_1+conv1_2+pool1 run:
+      None/"literal" — plain XLA convs (parity mode, differentiable);
+      "pallas"       — one Pallas VMEM kernel (inference-only, no VJP;
+                       ops/vgg_stem_pallas.py); fused_stem=True is the
+                       legacy alias. Requires dtype=bfloat16 on TPU.
+      "s2d"          — space-to-depth packed XLA convs (MXU-full
+                       256-lane dots, differentiable; ops/stem_s2d.py).
     """
+    if fused_stem and stem_impl is None:
+        stem_impl = "pallas"
     layers = VGG_LAYERS
-    if fused_stem:
+    if stem_impl == "pallas":
         from mv3d_tf_tpu.ops.vgg_stem_pallas import (stem_tile_rows,
                                                      vgg_stem_pallas)
         p1 = params["conv1_1" + suffix]
@@ -89,6 +96,13 @@ def trunk_apply(params, x, suffix="", dtype=None, fused_stem=False):
         x = vgg_stem_pallas(x, p1["weights"], p1["biases"],
                             p2["weights"], p2["biases"],
                             tile_rows=stem_tile_rows(x.shape[1] // 2))
+        layers = VGG_LAYERS[2:]
+    elif stem_impl == "s2d":
+        from mv3d_tf_tpu.ops.stem_s2d import stem_s2d
+        p1 = params["conv1_1" + suffix]
+        p2 = params["conv1_2" + suffix]
+        x = stem_s2d(x, p1["weights"], p1["biases"],
+                     p2["weights"], p2["biases"], dtype=dtype)
         layers = VGG_LAYERS[2:]
     for name, _, pool in layers:
         p = params[name + suffix]

@@ -137,7 +137,7 @@ def conv3x3_s8_pallas(x, w, k, b, tile_rows=8, interpret=False,
     return y[:, :H]
 
 
-def conv_requant_pallas(x_q, p, tile_rows=8, interpret=None):
+def conv_requant_pallas(x_q, p, tile_rows=8, interpret=None, impl="v2"):
     """Drop-in twin of quant._conv_requant on the Pallas kernel.
 
     interpret=None auto-selects interpret mode off-TPU (CPU tests)."""
@@ -145,8 +145,199 @@ def conv_requant_pallas(x_q, p, tile_rows=8, interpret=None):
         interpret = jax.default_backend() not in ("tpu", "axon")
     kk = (p["s_in"] * p["s_w"] / p["s_out"]).astype(jnp.float32)
     bb = (p["bias"] / p["s_out"]).astype(jnp.float32)
-    return conv3x3_s8_pallas(x_q, p["w_q"], kk, bb, tile_rows=tile_rows,
-                             interpret=interpret)
+    fn = conv3x3_s8_pallas_v2 if impl == "v2" else conv3x3_s8_pallas
+    return fn(x_q, p["w_q"], kk, bb, tile_rows=tile_rows,
+              interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_rows", "interpret", "out_dtype"))
+def conv3x3_s8_pallas_v2(x, w, k, b, tile_rows=8, interpret=False,
+                         out_dtype=jnp.int8):
+    """v2 of conv3x3_s8_pallas: same semantics, MXU-shaped dots.
+
+    v1 issues 9*TH tiny (W, C) @ (C, K) dots per grid step (M = one
+    feature row, 75-300 — under a single 128-row MXU pass) and measured
+    only 65-113 TOP/s. v2 restructures the same tap math into THREE
+    large dots per grid step:
+
+      * all TH output rows are flattened into one M = TH*Wt dot
+        (Wt = W rounded up to the 8-sublane tile, so the (TH, Wt)
+        -> (TH*Wt,) merge is a free relayout);
+      * the three COLUMN taps are concatenated along the contraction
+        dim: the haloed tile is materialized once as
+        xs[(i, col), v*C + c] = x[row0 - 1 + i, col + v - 1, c],
+        giving A_u = xs rows [u*Wt, (u+TH)*Wt) of shape (TH*Wt, 3C)
+        and acc = sum_u A_u @ w[u].reshape(3C, K).
+
+    The row halo still comes from pipelined views of the same padded
+    input, but the prev/next views fetch ONE row each (not TH), so HBM
+    input traffic is (TH+2)/TH of x instead of 3x.
+    """
+    B, H, W, C = x.shape
+    K = w.shape[-1]
+    assert C % 128 == 0 and K % 128 == 0, (C, K)
+    TH = tile_rows
+    grid_r = -(-H // TH)
+    H_pad = TH * grid_r
+
+    Wt = _ceil_to(W, 8)
+    # v-shifted slices read cols [v, v+Wt); need Wt+2 <= Wp so v=2 stays
+    # in range, and the extra [W+1, Wp) cols are zero pad (their rows in
+    # the flattened dot are discarded by the [:, :W] store slice)
+    Wp = _ceil_to(max(W + 2, Wt + 2), 32)
+    xp = jnp.pad(x, ((0, 0), (TH, TH + H_pad - H), (1, Wp - W - 1),
+                     (0, 0)))
+
+    w3 = w.reshape(3, 3 * C, K)  # (u, v-major C, K)
+    kf = k.reshape(1, K).astype(jnp.float32)
+    bf = b.reshape(1, K).astype(jnp.float32)
+
+    def kernel(prev_ref, cur_ref, nxt_ref, w_ref, k_ref, b_ref, out_ref,
+               xs_ref):
+        # xs: ((TH+2)*Wt, 3C); logical haloed row i lives at
+        # xs[i*Wt:(i+1)*Wt] — Wt % 8 == 0 keeps every block sublane-
+        # tile aligned, and v*C lane offsets are 128-multiples
+        for v in range(3):
+            cs = slice(v * C, (v + 1) * C)
+            xs_ref[0:Wt, cs] = prev_ref[0, 0, v:v + Wt, :]
+            xs_ref[Wt:(TH + 1) * Wt, cs] = (
+                cur_ref[0, :, v:v + Wt, :].reshape(TH * Wt, C))
+            xs_ref[(TH + 1) * Wt:, cs] = nxt_ref[0, 0, v:v + Wt, :]
+
+        acc = jnp.zeros((TH * Wt, K), jnp.int32)
+        for u in range(3):
+            acc += jax.lax.dot_general(
+                xs_ref[u * Wt:(u + TH) * Wt], w_ref[u],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * k_ref[:] + b_ref[:]
+        if out_dtype == jnp.int8:
+            y = jnp.clip(jnp.round(y), 0, 127)
+        else:
+            y = jnp.maximum(y, 0.0)
+        out_ref[0] = y.reshape(TH, Wt, K)[:, :W].astype(out_dtype)
+
+    grid = (B, grid_r)
+    in_specs = [
+        # one halo row above: xp row rr*TH + TH - 1
+        pl.BlockSpec((1, 1, Wp, C),
+                     lambda bb, rr: (bb, rr * TH + TH - 1, 0, 0),
+                     memory_space=pltpu.VMEM),
+        # the TH data rows: xp rows [(rr+1)*TH, (rr+2)*TH)
+        pl.BlockSpec((1, TH, Wp, C), lambda bb, rr: (bb, rr + 1, 0, 0),
+                     memory_space=pltpu.VMEM),
+        # one halo row below: xp row (rr+2)*TH
+        pl.BlockSpec((1, 1, Wp, C),
+                     lambda bb, rr: (bb, (rr + 2) * TH, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3 * C, K), lambda bb, rr: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K), lambda bb, rr: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K), lambda bb, rr: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec((1, TH, W, K), lambda bb, rr: (bb, rr, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=jax.ShapeDtypeStruct((B, H_pad, W, K), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM(((TH + 2) * Wt, 3 * C), jnp.int8),
+        ],
+        interpret=interpret,
+    )(xp, xp, xp, w3, kf, bf)
+    return y[:, :H]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_rows", "interpret", "out_dtype"))
+def conv2x2_s8_pallas(x, w, k, b, tile_rows=8, interpret=False,
+                      out_dtype=jnp.int8):
+    """Fused s8 2x2 VALID conv + requant epilogue (v2 formulation).
+
+    The 2x2 VALID shape is what the space-to-depth packed conv1_2
+    (ops/stem_s2d.py) needs: x (B, H, W, C) -> (B, H-1, W-1, K), both
+    C and K 128-multiples (the packed stem is 256 -> 256). Same
+    epilogue semantics as conv3x3_s8_pallas.
+
+    Structure: per grid step, xs[(i, col), v*C + c] = x[r0 + i, col + v]
+    for i in [0, TH + 1) (one halo row BELOW, none above — VALID), and
+    acc = sum_u xs[u*Wt:(u+TH)*Wt] @ w[u].reshape(2C, K): TWO
+    (TH*Wt, 2C) @ (2C, K) dots.
+    """
+    B, H, W, C = x.shape
+    K = w.shape[-1]
+    assert C % 128 == 0 and K % 128 == 0, (C, K)
+    Ho, Wo = H - 1, W - 1
+    TH = tile_rows
+    grid_r = -(-Ho // TH)
+    H_pad = TH * grid_r
+
+    Wt = _ceil_to(Wo, 8)
+    # v-shifts read cols [v, v + Wt), v <= 1; zero-pad the tail
+    Wp = _ceil_to(max(W, Wt + 1), 32)
+    xp = jnp.pad(x, ((0, 0), (0, TH + H_pad - Ho), (0, Wp - W), (0, 0)))
+
+    w2 = w.reshape(2, 2 * C, K)
+    kf = k.reshape(1, K).astype(jnp.float32)
+    bf = b.reshape(1, K).astype(jnp.float32)
+
+    def kernel(cur_ref, nxt_ref, w_ref, k_ref, b_ref, out_ref, xs_ref):
+        for v in range(2):
+            cs = slice(v * C, (v + 1) * C)
+            xs_ref[0:TH * Wt, cs] = (
+                cur_ref[0, :, v:v + Wt, :].reshape(TH * Wt, C))
+            xs_ref[TH * Wt:, cs] = nxt_ref[0, 0, v:v + Wt, :]
+
+        acc = jax.lax.dot_general(
+            xs_ref[0:TH * Wt], w_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc += jax.lax.dot_general(
+            xs_ref[Wt:(TH + 1) * Wt], w_ref[1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * k_ref[:] + b_ref[:]
+        if out_dtype == jnp.int8:
+            y = jnp.clip(jnp.round(y), 0, 127)
+        else:
+            y = jnp.maximum(y, 0.0)
+        out_ref[0] = y.reshape(TH, Wt, K)[:, :Wo].astype(out_dtype)
+
+    grid = (B, grid_r)
+    in_specs = [
+        pl.BlockSpec((1, TH, Wp, C), lambda bb, rr: (bb, rr, 0, 0),
+                     memory_space=pltpu.VMEM),
+        # one halo row below: xp row (rr+1)*TH
+        pl.BlockSpec((1, 1, Wp, C),
+                     lambda bb, rr: (bb, (rr + 1) * TH, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, 2 * C, K), lambda bb, rr: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K), lambda bb, rr: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K), lambda bb, rr: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec((1, TH, Wo, K), lambda bb, rr: (bb, rr, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=jax.ShapeDtypeStruct((B, H_pad, Wo, K), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM(((TH + 1) * Wt, 2 * C), jnp.int8),
+        ],
+        interpret=interpret,
+    )(xp, xp, w2, kf, bf)
+    return y[:, :Ho]
 
 
 # ---------------------------------------------------------------------------

@@ -256,6 +256,60 @@ def fusion_head_int8(params, qhead, pooled_bv_q, s_bv, pooled_img_q, s_img):
     return cls_score, cls_prob, bbox_pred
 
 
+def calibrate_pooled_features(params, bev_frames, image_frames, calib,
+                              feat_h=75, feat_w=75, post_nms_top_n=300):
+    """Capture ROI-pooled calibration features for the int8 head.
+
+    Runs the bf16 pipeline (trunks -> RPN -> proposals -> ROI pool) on
+    the calibration frames and returns (pooled_bv, pooled_img) with only
+    the valid-proposal rows kept (invalid slots are zero and would skew
+    the max-based scales toward 0 harmlessly but waste range).
+
+    image_frames must ALREADY be mean-subtracted (same contract as
+    build_quant_state).
+    """
+    from mv3d_tf_tpu.models import mv3d
+    from mv3d_tf_tpu.ops.roi_pool import roi_pool_fast
+    from mv3d_tf_tpu.proposals import (IMG_BOUNDS, IMG_PAD,
+                                       proposal_layer_3d)
+    max_img_h = int(IMG_BOUNDS[0] + 2 * IMG_PAD + 10)
+    max_img_w = int(IMG_BOUNDS[1] + 2 * IMG_PAD + 10)
+
+    @jax.jit
+    def run(p, bev, image, cal):
+        B = bev.shape[0]
+        c5, c5_2 = mv3d.extract_features(p, bev, image,
+                                         dtype=jnp.bfloat16)
+        rpn_cls, rpn_box = mv3d.rpn_head(p, c5, dtype=jnp.bfloat16)
+        prob = mv3d.rpn_probs(rpn_cls)
+        rois = jax.vmap(
+            lambda pr, d, c: proposal_layer_3d(
+                pr[None], d[None], c, feat_h, feat_w,
+                pre_nms_top_n=6000, post_nms_top_n=post_nms_top_n,
+                nms_thresh=0.7, nms_impl="blocked")
+        )(prob, rpn_box.astype(jnp.float32), cal)
+        P = post_nms_top_n
+        fi = jnp.repeat(jnp.arange(B, dtype=jnp.float32), P)[:, None]
+        fbv = rois["rois_bv"].reshape(B * P, 5).at[:, 0:1].set(fi)
+        fim = rois["rois_img"].reshape(B * P, 5).at[:, 0:1].set(fi)
+        rt = 12 if P % 12 == 0 else 1
+        pooled_bv = roi_pool_fast(c5, fbv, spatial_scale=1.0 / 8,
+                                  chunk=512, rois_per_step=rt)
+        pooled_img = roi_pool_fast(c5_2, fim, spatial_scale=1.0 / 8,
+                                   max_in_h=max_img_h, max_in_w=max_img_w,
+                                   chunk=512, rois_per_step=rt)
+        return pooled_bv, pooled_img, rois["valid"].reshape(B * P)
+
+    pooled_bv, pooled_img, valid = jax.device_get(
+        run(params, jnp.asarray(bev_frames), jnp.asarray(image_frames),
+            jnp.asarray(calib)))
+    keep = np.asarray(valid) > 0
+    if not keep.any():  # random-init calibration can yield no proposals
+        keep = np.ones_like(keep)
+    return (jnp.asarray(np.asarray(pooled_bv)[keep]),
+            jnp.asarray(np.asarray(pooled_img)[keep]))
+
+
 def build_quant_state(params, bev_frames, image_frames, pooled_bv=None,
                       pooled_img=None, use_stem=True):
     """One-call PTQ: calibrate both trunks (+ optionally the head) and
@@ -279,6 +333,81 @@ def build_quant_state(params, bev_frames, image_frames, pooled_bv=None,
     return state
 
 
+def trunk_apply_int8_from_stem_q(qtrunk, stem_q, conv_impl="xla"):
+    """Continue the int8 trunk from an ALREADY-QUANTIZED stem output
+    (int8 at conv1_2's output scale — the s2d int8 stem emits this
+    directly, no bf16 round-trip)."""
+    x = stem_q
+    for name, _, pool in vgg.VGG_LAYERS[2:]:
+        p = qtrunk[name]
+        cin, cout = p["w_q"].shape[2], p["w_q"].shape[3]
+        if conv_impl == "pallas" and cin % 128 == 0 and cout % 128 == 0:
+            from mv3d_tf_tpu.ops.conv_s8_pallas import conv_requant_pallas
+            x = conv_requant_pallas(x, p, tile_rows=_s8_tile_rows(
+                x.shape[1]))
+        else:
+            x = _conv_requant(x, p)
+        if pool:
+            x = vgg.max_pool_2x2_valid(x)
+    return x, qtrunk[vgg.VGG_LAYERS[-1][0]]["s_out"]
+
+
+def _s2d_stem_int8(params, qtrunk, x, suffix="", conv_impl="pallas"):
+    """Space-to-depth stem with the packed conv1_2 in int8.
+
+    Packed conv1_1 (tiny contraction, quantizes badly) runs bf16 XLA;
+    its output Y1 is quantized at the literal conv1_1 scale (the packed
+    tensor holds the same values, plus zeros where the shifted layout
+    maps outside y1 — ops/stem_s2d.py); packed conv1_2 runs as the
+    fused s8 2x2 VALID Pallas kernel with the requant epilogue at the
+    literal conv1_2 output scale; pool1 = the 4-group max directly on
+    int8 (max commutes with the monotone quantization map). Returns
+    (stem_q int8, s_out) feeding trunk_apply_int8_from_stem_q.
+    """
+    from mv3d_tf_tpu.ops.conv_s8_pallas import conv2x2_s8_pallas
+    from mv3d_tf_tpu.ops.stem_s2d import _mask_edges, pack_stem_weights
+    p1 = params["conv1_1" + suffix]
+    p2 = params["conv1_2" + suffix]
+    K1, B1, K2, B2 = pack_stem_weights(p1["weights"], p1["biases"],
+                                       p2["weights"], p2["biases"])
+    B, H, W, _ = x.shape
+    C1 = p1["weights"].shape[3]
+    Ho, Wo = H // 2, W // 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), K1.astype(jnp.bfloat16),
+        window_strides=(2, 2),
+        padding=((2, 2 * Ho + 2 - H), (2, 2 * Wo + 2 - W)),
+        dimension_numbers=_DIMS)
+    y = jax.nn.relu(y + B1.astype(jnp.bfloat16))
+    y = _mask_edges(y, H, W, C1)
+
+    s1 = qtrunk["conv1_1"]["s_out"]
+    s2 = qtrunk["conv1_2"]["s_out"]
+    y_q = jnp.clip(jnp.round(y.astype(jnp.float32) / s1),
+                   0, 127).astype(jnp.int8)
+    # in-graph weight quantization (params are traced under jit; XLA
+    # constant-folds this against the baked weights)
+    K2f = K2.astype(jnp.float32)
+    s_w = jnp.maximum(
+        jnp.max(jnp.abs(K2f).reshape(-1, K2f.shape[-1]), axis=0) / 127.0,
+        1e-12)
+    K2q = jnp.clip(jnp.round(K2f / s_w), -127, 127).astype(jnp.int8)
+    kk = (s1 * s_w / s2).astype(jnp.float32)
+    bb = (jnp.tile(p2["biases"], 4) / s2).astype(jnp.float32)
+    if conv_impl == "pallas" and jax.default_backend() in ("tpu", "axon"):
+        z_q = conv2x2_s8_pallas(y_q, K2q, kk, bb,
+                                tile_rows=_s8_tile_rows(Ho))
+    else:
+        y32 = jax.lax.conv_general_dilated(
+            y_q, K2q, (1, 1), "VALID",
+            dimension_numbers=_DIMS, preferred_element_type=jnp.int32)
+        z_q = jnp.clip(jnp.round(y32.astype(jnp.float32) * kk + bb),
+                       0, 127).astype(jnp.int8)
+    C2 = p2["weights"].shape[3]
+    stem_q = z_q.reshape(B, Ho, Wo, 4, C2).max(axis=3)
+    return stem_q, s2
+
+
 def _bf16_stem(params, x, suffix=""):
     """conv1_1 + conv1_2 + pool in bf16 XLA (the conv1 pair quantizes
     badly: 9/3 input channels pad to the int8 MXU tile and lose the
@@ -297,6 +426,10 @@ def extract_features_int8(params, quant, bev, image, fused_stem=False,
     stem selects how conv1_1/conv1_2/pool1 run before the int8
     conv2_1..conv5_3 chain:
       "bf16"   — XLA bf16 stem (default; conv1 can't fill the int8 MXU);
+      "s2d"    — space-to-depth packed bf16 stem (MXU-full 256-lane
+                 convs, ops/stem_s2d.py);
+      "s2d_int8" — s2d stem with the packed conv1_2 as the fused s8
+                 2x2 Pallas kernel, feeding the trunk int8 directly;
       "int8"   — fully quantized from the input;
       "pallas" — the fused Pallas stem (DISABLED shipping-wide r2:
                  Mosaic lowering regression, see eval._fused_stem).
@@ -306,6 +439,33 @@ def extract_features_int8(params, quant, bev, image, fused_stem=False,
     """
     if fused_stem:
         stem = "pallas"
+    if stem == "s2d_int8":
+        stem_bv_q, s_bv_in = _s2d_stem_int8(params, quant["trunk_bv"],
+                                            bev, suffix="",
+                                            conv_impl=conv_impl)
+        stem_img_q, s_img_in = _s2d_stem_int8(params, quant["trunk_img"],
+                                              image, suffix="_2",
+                                              conv_impl=conv_impl)
+        feat_bv, s_bv = trunk_apply_int8_from_stem_q(
+            quant["trunk_bv"], stem_bv_q, conv_impl=conv_impl)
+        feat_img, s_img = trunk_apply_int8_from_stem_q(
+            quant["trunk_img"], stem_img_q, conv_impl=conv_impl)
+        return feat_bv, s_bv, feat_img, s_img
+    if stem == "s2d":
+        from mv3d_tf_tpu.ops.stem_s2d import stem_s2d
+        p1, p2 = params["conv1_1"], params["conv1_2"]
+        stem_bv = stem_s2d(bev, p1["weights"], p1["biases"],
+                           p2["weights"], p2["biases"],
+                           dtype=jnp.bfloat16)
+        p1, p2 = params["conv1_1_2"], params["conv1_2_2"]
+        stem_img = stem_s2d(image, p1["weights"], p1["biases"],
+                            p2["weights"], p2["biases"],
+                            dtype=jnp.bfloat16)
+        feat_bv, s_bv = trunk_apply_int8_from_stem(
+            quant["trunk_bv"], stem_bv, conv_impl=conv_impl)
+        feat_img, s_img = trunk_apply_int8_from_stem(
+            quant["trunk_img"], stem_img, conv_impl=conv_impl)
+        return feat_bv, s_bv, feat_img, s_img
     if stem == "int8":
         feat_bv, s_bv = trunk_apply_int8(quant["trunk_bv"], bev)
         feat_img, s_img = trunk_apply_int8(quant["trunk_img"], image)

@@ -89,12 +89,17 @@ def compute_losses(rpn_cls_score, rpn_bbox_pred, rpn_labels, rpn_bbox_targets,
 def build_forward_losses(feat_h=75, feat_w=75, pre_nms_top_n=12000,
                          post_nms_top_n=2000, rpn_nms_thresh=0.7,
                          rois_per_image=128, keep_prob=0.5,
-                         compute_dtype=None, pool_impl="train"):
+                         compute_dtype=None, pool_impl="train",
+                         stem_impl=None):
     """Per-frame forward + 4-term loss as a pure function
     (params, batch, key) -> metrics dict.  vmap-able over frames for
     data-parallel training (parallel/mesh.py — which passes
     pool_impl="xla": the Pallas custom-vjp pool is single-frame and is
-    not exercised under vmap/shard_map)."""
+    not exercised under vmap/shard_map).
+
+    stem_impl="s2d" runs conv1 as the space-to-depth packed convs
+    (ops/stem_s2d.py — differentiable, gradient-equivalent to the
+    literal stem per tests/test_stem_s2d.py)."""
     pool = roi_pool_train if pool_impl == "train" else roi_pool
     max_img_h = int(IMG_BOUNDS[0] + 2 * IMG_PAD + 10)
     max_img_w = int(IMG_BOUNDS[1] + 2 * IMG_PAD + 10)
@@ -103,7 +108,8 @@ def build_forward_losses(feat_h=75, feat_w=75, pre_nms_top_n=12000,
         k_anchor, k_roi, k_drop = jax.random.split(key, 3)
         image = batch["image"].astype(jnp.float32) - PIXEL_MEANS
         c5, c5_2 = mv3d.extract_features(params, batch["bev"][None],
-                                         image[None], dtype=compute_dtype)
+                                         image[None], dtype=compute_dtype,
+                                         stem_impl=stem_impl)
         rpn_cls, rpn_box = mv3d.rpn_head(params, c5, dtype=compute_dtype)
         prob = mv3d.rpn_probs(rpn_cls)
 
@@ -144,7 +150,7 @@ def build_forward_losses(feat_h=75, feat_w=75, pre_nms_top_n=12000,
 def build_train_step(feat_h=75, feat_w=75, pre_nms_top_n=12000,
                      post_nms_top_n=2000, rpn_nms_thresh=0.7,
                      rois_per_image=128, keep_prob=0.5, lr=1e-5,
-                     compute_dtype=None, optimizer=None):
+                     compute_dtype=None, optimizer=None, stem_impl=None):
     """Build (train_step, optimizer).  train_step is fully jitted.
 
     Batch dict (one frame, fixed shapes):
@@ -157,7 +163,7 @@ def build_train_step(feat_h=75, feat_w=75, pre_nms_top_n=12000,
         feat_h=feat_h, feat_w=feat_w, pre_nms_top_n=pre_nms_top_n,
         post_nms_top_n=post_nms_top_n, rpn_nms_thresh=rpn_nms_thresh,
         rois_per_image=rois_per_image, keep_prob=keep_prob,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, stem_impl=stem_impl)
 
     # params + opt state (~1.5 GB f32) are donated: the updated pytrees
     # reuse the input buffers in place instead of allocating fresh HBM

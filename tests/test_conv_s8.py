@@ -6,7 +6,9 @@ import numpy as np
 import pytest
 
 from mv3d_tf_tpu import quant as Q
-from mv3d_tf_tpu.ops.conv_s8_pallas import (conv3x3_s8_pallas,
+from mv3d_tf_tpu.ops.conv_s8_pallas import (conv2x2_s8_pallas,
+                                            conv3x3_s8_pallas,
+                                            conv3x3_s8_pallas_v2,
                                             matmul_s8_pallas)
 
 
@@ -26,17 +28,19 @@ def _oracle(x, w, k, b, out_dtype=jnp.int8):
     return np.asarray(jnp.maximum(y, 0.0))
 
 
+@pytest.mark.parametrize("kernel", [conv3x3_s8_pallas,
+                                    conv3x3_s8_pallas_v2])
 @pytest.mark.parametrize("shape", [
     (1, 8, 7, 128, 128),      # W not a sublane multiple, tiny rows
     (2, 19, 33, 128, 256),    # H not divisible by tile_rows
     (1, 16, 76, 256, 128),    # conv4/5-ish width
 ])
-def test_conv_s8_pallas_matches_oracle(shape):
+def test_conv_s8_pallas_matches_oracle(shape, kernel):
     rng = np.random.RandomState(0)
     B, H, W, C, K = shape
     x, w, k, b = _rand_case(rng, B, H, W, C, K)
     ref = _oracle(x, w, k, b)
-    got = np.asarray(conv3x3_s8_pallas(
+    got = np.asarray(kernel(
         jnp.asarray(x), jnp.asarray(w), jnp.asarray(k), jnp.asarray(b),
         tile_rows=8, interpret=True))
     assert got.shape == ref.shape
@@ -46,14 +50,40 @@ def test_conv_s8_pallas_matches_oracle(shape):
         got.astype(np.int32) - ref.astype(np.int32)).max()
 
 
-def test_conv_s8_pallas_f32_out():
+@pytest.mark.parametrize("kernel", [conv3x3_s8_pallas,
+                                    conv3x3_s8_pallas_v2])
+def test_conv_s8_pallas_f32_out(kernel):
     rng = np.random.RandomState(1)
     x, w, k, b = _rand_case(rng, 1, 10, 12, 128, 128)
     ref = _oracle(x, w, k, b, out_dtype=jnp.float32)
-    got = np.asarray(conv3x3_s8_pallas(
+    got = np.asarray(kernel(
         jnp.asarray(x), jnp.asarray(w), jnp.asarray(k), jnp.asarray(b),
         tile_rows=5, interpret=True, out_dtype=jnp.float32))
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 9, 9, 128, 128),      # tiny, W-1 not a sublane multiple
+    (2, 21, 14, 256, 256),    # packed-stem channel count, odd rows
+])
+def test_conv2x2_s8_pallas_matches_oracle(shape):
+    rng = np.random.RandomState(4)
+    B, H, W, C, K = shape
+    x = rng.randint(0, 128, (B, H, W, C)).astype(np.int8)
+    w = rng.randint(-127, 128, (2, 2, C, K)).astype(np.int8)
+    k = (rng.rand(K) * 2e-3 + 1e-4).astype(np.float32)
+    b = (rng.rand(K) - 0.5).astype(np.float32)
+    y32 = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    ref = np.asarray(jnp.clip(jnp.round(
+        y32.astype(jnp.float32) * k + b), 0, 127).astype(jnp.int8))
+    got = np.asarray(conv2x2_s8_pallas(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(k), jnp.asarray(b),
+        tile_rows=4, interpret=True))
+    assert got.shape == ref.shape
+    assert (got == ref).all()
 
 
 def test_matmul_s8_pallas_matches_dot():

@@ -123,3 +123,72 @@ def test_build_quant_state_and_batch_detector(small_params, rng):
     assert np.isfinite(np.asarray(det_q["scores"])).all()
     # both paths emit the same number of valid slots (same NMS budget)
     assert np.asarray(det_q["valid"]).sum() > 0
+
+
+def test_quant_with_int8_head_and_s2d_stem(small_params, rng):
+    """Pooled-feature calibration -> int8 fc6/fc7 head + s2d stem through
+    the batch detector: runs end-to-end, probabilities track the float
+    path's shape and stay finite (tiny shapes, CPU)."""
+    from mv3d_tf_tpu.eval import PIXEL_MEANS, build_detect_batch_fn
+    params = small_params
+    B = 2
+    bev = rng.rand(B, 81, 81, 9).astype(np.float32)
+    image = (rng.rand(B, 88, 120, 3) * 255).astype(np.float32)
+    import __graft_entry__ as graft
+    calib = np.tile(graft._example_calib()[None], (B, 1, 1))
+
+    img_ms = image - PIXEL_MEANS
+    kwargs = dict(feat_h=10, feat_w=10, pre_nms_top_n=50,
+                  post_nms_top_n=12)
+    pool_bv, pool_img = Q.calibrate_pooled_features(
+        params, bev, img_ms, calib, feat_h=10, feat_w=10,
+        post_nms_top_n=12)
+    assert pool_bv.ndim == 4 and pool_img.ndim == 4
+    qs = Q.build_quant_state(params, bev, img_ms, pooled_bv=pool_bv,
+                             pooled_img=pool_img)
+    assert qs["head"] is not None
+    det_q = build_detect_batch_fn(quant=qs, stem_impl="s2d", **kwargs)(
+        params, bev, image, calib)
+    assert np.isfinite(np.asarray(det_q["scores"])).all()
+    assert np.asarray(det_q["valid"]).sum() > 0
+
+
+def test_s2d_int8_stem_tracks_bf16_stem(small_params, rng):
+    """The fully-int8 s2d stem (packed conv1_2 s8 + group max) tracks
+    the bf16 stem + requantize path within quantization noise."""
+    params = small_params
+    x = rng.rand(1, 40, 48, 9).astype(np.float32)
+    scales = Q.calibrate_trunk(params, x)
+    qtrunk = Q.quantize_trunk(params, scales)
+
+    stem_bf16 = Q._bf16_stem(params, jnp.asarray(x))
+    s2 = float(qtrunk["conv1_2"]["s_out"])
+    ref_q = np.asarray(jnp.clip(jnp.round(
+        stem_bf16.astype(jnp.float32) / s2), 0, 127).astype(jnp.int8))
+
+    got_q, s_out = Q._s2d_stem_int8(params, qtrunk, jnp.asarray(x))
+    assert float(s_out) == s2
+    got_q = np.asarray(got_q)
+    assert got_q.shape == ref_q.shape
+    # int8 grids: allow off-by-a-few codes from the extra Y1
+    # quantization; the bulk must match closely
+    diff = np.abs(got_q.astype(np.int32) - ref_q.astype(np.int32))
+    assert np.mean(diff <= 1) > 0.97, (diff.mean(), diff.max())
+
+
+def test_detector_s2d_int8_stem_runs(small_params, rng):
+    """End-to-end batch detector with stem_impl='s2d_int8'."""
+    from mv3d_tf_tpu.eval import PIXEL_MEANS, build_detect_batch_fn
+    params = small_params
+    B = 2
+    bev = rng.rand(B, 81, 81, 9).astype(np.float32)
+    image = (rng.rand(B, 88, 120, 3) * 255).astype(np.float32)
+    import __graft_entry__ as graft
+    calib = np.tile(graft._example_calib()[None], (B, 1, 1))
+    qs = Q.build_quant_state(params, bev, image - PIXEL_MEANS)
+    kwargs = dict(feat_h=10, feat_w=10, pre_nms_top_n=50,
+                  post_nms_top_n=12)
+    det_q = build_detect_batch_fn(quant=qs, stem_impl="s2d_int8",
+                                  **kwargs)(params, bev, image, calib)
+    assert np.isfinite(np.asarray(det_q["scores"])).all()
+    assert np.asarray(det_q["valid"]).sum() > 0

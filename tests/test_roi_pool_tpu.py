@@ -47,10 +47,16 @@ def test_roi_pool_pallas_real_tpu_right_edge():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
-    proc = subprocess.run(
-        [sys.executable, "-c", _CHECK],
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        env=env, capture_output=True, text=True, timeout=600)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _CHECK],
+            cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))),
+            env=env, capture_output=True, text=True, timeout=600)
+    except subprocess.TimeoutExpired:
+        # a dead/wedged device tunnel hangs the axon backend at init —
+        # that is an environment outage, not a kernel parity failure
+        pytest.skip("TPU tunnel unreachable (device init timed out)")
     assert proc.returncode == 0, proc.stderr[-2000:]
     if "NO_TPU" in proc.stdout:
         pytest.skip("no real TPU in this environment")

@@ -22,10 +22,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--stem", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--stem", default="pallas",
+                    choices=["pallas", "xla", "s2d", "s2d_int8"])
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--int8-head", action="store_true",
+                    help="also quantize the fusion head (fc6/fc7)")
     ap.add_argument("--conv-impl", default="xla", choices=["xla", "pallas"],
                     help="int8 trunk conv implementation")
+    ap.add_argument("--train", action="store_true",
+                    help="time the train step instead of the detector")
     args = ap.parse_args()
 
     import jax
@@ -38,8 +43,12 @@ def main():
 
     log("device:", jax.devices()[0], "stem:", args.stem,
         "batch:", args.batch, "int8:", args.int8)
+    stem_impl = None
     if args.stem == "xla":
         E._fused_stem = lambda dtype: False
+        stem_impl = "bf16" if args.int8 else None
+    elif args.stem in ("s2d", "s2d_int8"):
+        stem_impl = args.stem
 
     B = args.batch
     rng = np.random.RandomState(0)
@@ -56,14 +65,26 @@ def main():
                    -0.9999, -0.075, 0.9999, 0.0002, 0.0105, -0.272]
     calib = jax.device_put(calib)
 
+    if args.train:
+        _bench_train(args, jax, jnp, np, params, bev, image, calib,
+                     stem_impl if args.stem == "s2d" else None)
+        return
+
     quant = None
     if args.int8:
         from mv3d_tf_tpu import quant as Q
-        quant = Q.build_quant_state(params, np.asarray(bev),
-                                    np.asarray(image) - E.PIXEL_MEANS)
+        img_ms = np.asarray(image) - E.PIXEL_MEANS
+        pool_bv = pool_img = None
+        if args.int8_head:
+            pool_bv, pool_img = Q.calibrate_pooled_features(
+                params, np.asarray(bev), img_ms, np.asarray(calib))
+        quant = Q.build_quant_state(params, np.asarray(bev), img_ms,
+                                    pooled_bv=pool_bv,
+                                    pooled_img=pool_img)
     detect = E.build_detect_batch_fn(compute_dtype=jnp.bfloat16,
                                      quant=quant,
-                                     quant_conv_impl=args.conv_impl)
+                                     quant_conv_impl=args.conv_impl,
+                                     stem_impl=stem_impl)
 
     def barrier(x):
         return float(np.asarray(jax.device_get(x.ravel()[0])))
@@ -83,6 +104,65 @@ def main():
     dt = min(ts)
     log("detect: {:.1f} ms/batch -> {:.2f} frames/s".format(
         dt * 1000, B / dt))
+
+
+def _bench_train(args, jax, jnp, np, params, bev, image, calib,
+                 stem_impl):
+    """Train-step timing under the stem toggle (bench.py's batch-1
+    recipe shapes)."""
+    import time
+
+    from mv3d_tf_tpu import geometry as G
+    from mv3d_tf_tpu.anchors import get_anchor_grid
+    from mv3d_tf_tpu.train import build_train_step
+
+    step, tx = build_train_step(compute_dtype=jnp.bfloat16,
+                                stem_impl=stem_impl)
+    opt_state = tx.init(params)
+    grid = get_anchor_grid(75, 75)
+    inside = np.where(grid.inside)[0]
+    max_gt = 8
+    gt_bv = np.zeros((max_gt, 5), np.float32)
+    gt_valid = np.zeros((max_gt,), bool)
+    gt_3d = np.zeros((max_gt, 7), np.float32)
+    gt_3d[:, 3:6] = 1.0
+    gt_cnr = np.zeros((max_gt, 25), np.float32)
+    for g in range(4):
+        a = inside[(g * 211 + 40) % len(inside)]
+        gt_bv[g, :4] = grid.anchors_bv[a]
+        gt_bv[g, 4] = 1.0
+        gt_valid[g] = True
+        gt_3d[g, :6] = np.asarray(G.bv_anchor_to_lidar(
+            gt_bv[g:g + 1, :4]))[0]
+        gt_3d[g, 6] = 1.0
+        gt_cnr[g, :24] = np.asarray(G.lidar_3d_to_corners(
+            gt_3d[g:g + 1, :6]))[0]
+        gt_cnr[g, 24] = 1.0
+    batch1 = {
+        "bev": bev[0], "image": image[0], "calib": calib[0],
+        "gt_boxes_bv": jax.device_put(gt_bv),
+        "gt_boxes_3d": jax.device_put(gt_3d),
+        "gt_boxes_corners": jax.device_put(gt_cnr),
+        "gt_valid": jax.device_put(gt_valid),
+    }
+    key = jax.random.PRNGKey(0)
+
+    def barrier(x):
+        return float(np.asarray(jax.device_get(x.ravel()[0])))
+
+    t0 = time.perf_counter()
+    p_t, o_t, m = step(params, opt_state, batch1, key)
+    barrier(m["loss"])
+    log("compile+first: {:.1f}s".format(time.perf_counter() - t0))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            p_t, o_t, m = step(p_t, o_t, batch1, key)
+        barrier(m["loss"])
+        ts.append((time.perf_counter() - t0) / args.iters)
+    log("train step: {:.1f} ms/iter (stem={})".format(
+        min(ts) * 1000, stem_impl or "literal"))
 
 
 if __name__ == "__main__":

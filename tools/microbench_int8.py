@@ -91,6 +91,7 @@ def main():
     fl = 2 * N * N * N
     if args.pallas:
         from mv3d_tf_tpu.ops.conv_s8_pallas import (conv3x3_s8_pallas,
+                                                    conv3x3_s8_pallas_v2,
                                                     matmul_s8_pallas)
 
         @jax.jit
@@ -102,9 +103,9 @@ def main():
             t * 1e3, fl / t / 1e12))
 
         B = 8
-        for H, W, Cin, Cout, name in [(301, 301, 128, 128, "conv2_2"),
-                                      (151, 151, 256, 256, "conv3_2"),
-                                      (76, 76, 512, 512, "conv5_x"),
+        for H, W, Cin, Cout, name in [(300, 300, 128, 128, "conv2_2"),
+                                      (150, 150, 256, 256, "conv3_2"),
+                                      (75, 75, 512, 512, "conv5_x"),
                                       (48, 156, 512, 512, "conv5_img")]:
             x8c = jax.device_put(
                 rng.randint(0, 128, (B, H, W, Cin)).astype(np.int8))
@@ -112,17 +113,20 @@ def main():
                 rng.randint(-127, 127, (3, 3, Cin, Cout)).astype(np.int8))
             kc = jax.device_put((rng.rand(Cout) * 1e-3).astype(np.float32))
             bc = jax.device_put(rng.rand(Cout).astype(np.float32))
-            tr = 8 if H % 8 == 0 else (10 if H % 10 == 0 else 4)
-
-            @jax.jit
-            def conv_pal(x, w, k, b, tr=tr):
-                return jnp.sum(conv3x3_s8_pallas(
-                    x, w, k, b, tile_rows=tr).astype(jnp.float32))
-
+            from mv3d_tf_tpu.quant import _s8_tile_rows
+            tr = _s8_tile_rows(H)
             fl_c = 2 * B * H * W * 9 * Cin * Cout
-            t = timeit(conv_pal, x8c, w8c, kc, bc)
-            log("{:10s} s8 PALLAS conv {:6.2f} ms {:6.1f} TOP/s".format(
-                name, t * 1e3, fl_c / t / 1e12))
+            for label, kern in (("v1", conv3x3_s8_pallas),
+                                ("v2", conv3x3_s8_pallas_v2)):
+
+                @jax.jit
+                def conv_pal(x, w, k, b, tr=tr, kern=kern):
+                    return jnp.sum(kern(
+                        x, w, k, b, tile_rows=tr).astype(jnp.float32))
+
+                t = timeit(conv_pal, x8c, w8c, kc, bc)
+                log("{:10s} s8 PALLAS {} conv {:6.2f} ms {:6.1f} TOP/s"
+                    .format(name, label, t * 1e3, fl_c / t / 1e12))
         return
 
     t = timeit(mm_bf16, abf, abf)
