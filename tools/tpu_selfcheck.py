@@ -216,6 +216,61 @@ def main():
         print("  [skip] full-shape golden (no artifact or CPU run)",
               flush=True)
 
+    # --- 7. int8 Pallas conv kernels (r2) -------------------------------------
+    # v2 3x3 (flattened rows + 3C contraction) and 2x2 VALID (packed
+    # stem) vs the XLA _conv_requant math — s32 accumulation is exact,
+    # so real-TPU outputs must be bit-identical to the XLA s8 path.
+    from mv3d_tf_tpu import quant as Q
+    from mv3d_tf_tpu.ops.conv_s8_pallas import (conv2x2_s8_pallas,
+                                                conv3x3_s8_pallas_v2)
+    x8 = rng.randint(0, 128, (2, 75, 75, 256)).astype(np.int8)
+    w8 = rng.randint(-127, 128, (3, 3, 256, 256)).astype(np.int8)
+    kq = (rng.rand(256) * 2e-3 + 1e-4).astype(np.float32)
+    bq = (rng.rand(256) - 0.5).astype(np.float32)
+    y32 = Q._conv_s8(jnp.asarray(x8), jnp.asarray(w8))
+    ref_q = np.asarray(jnp.clip(jnp.round(
+        y32.astype(jnp.float32) * kq + bq), 0, 127).astype(jnp.int8))
+    got_q = np.asarray(conv3x3_s8_pallas_v2(
+        jax.device_put(x8), jax.device_put(w8), jax.device_put(kq),
+        jax.device_put(bq), tile_rows=5))
+    check("s8 conv3x3 v2 vs XLA s8 (bit-exact)",
+          np.array_equal(got_q, ref_q),
+          "(max |diff| {})".format(
+              np.abs(got_q.astype(np.int32)
+                     - ref_q.astype(np.int32)).max()))
+
+    x2 = rng.randint(0, 128, (2, 151, 157, 256)).astype(np.int8)
+    w2q = rng.randint(-127, 128, (2, 2, 256, 256)).astype(np.int8)
+    y32 = jax.lax.conv_general_dilated(
+        jnp.asarray(x2), jnp.asarray(w2q), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    ref2 = np.asarray(jnp.clip(jnp.round(
+        y32.astype(jnp.float32) * kq + bq), 0, 127).astype(jnp.int8))
+    got2 = np.asarray(conv2x2_s8_pallas(
+        jax.device_put(x2), jax.device_put(w2q), jax.device_put(kq),
+        jax.device_put(bq), tile_rows=10))
+    check("s8 conv2x2 (packed stem) vs XLA s8 (bit-exact)",
+          np.array_equal(got2, ref2),
+          "(max |diff| {})".format(
+              np.abs(got2.astype(np.int32)
+                     - ref2.astype(np.int32)).max()))
+
+    # --- 8. space-to-depth stem vs literal (bf16-close) -----------------------
+    from mv3d_tf_tpu.ops.stem_s2d import stem_s2d
+    xs2 = jnp.asarray(rng.rand(1, 121, 601, 9).astype(np.float32))
+    ref_t = np.asarray(vgg.max_pool_2x2_valid(vgg.conv2d(
+        vgg.conv2d(xs2, jnp.asarray(w1), jnp.asarray(b1),
+                   dtype=jnp.bfloat16),
+        jnp.asarray(w2), jnp.asarray(b2), dtype=jnp.bfloat16)),
+        np.float32)
+    got_t = np.asarray(stem_s2d(xs2, jnp.asarray(w1), jnp.asarray(b1),
+                                jnp.asarray(w2), jnp.asarray(b2),
+                                dtype=jnp.bfloat16), np.float32)
+    rel = np.abs(ref_t - got_t).max() / max(np.abs(ref_t).max(), 1e-6)
+    check("s2d stem vs literal (bf16-close)", rel <= 2 ** -6,
+          "(rel {:.2e})".format(rel))
+
     print(("ALL OK" if not failures else
            "FAILURES: " + ", ".join(failures)), flush=True)
     sys.exit(1 if failures else 0)
