@@ -140,7 +140,12 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
                 conv_impl=quant_conv_impl)
             c5 = (fbv.astype(jnp.bfloat16) * s_bv).astype(jnp.bfloat16)
             c5_2 = (fim.astype(jnp.bfloat16) * s_im).astype(jnp.bfloat16)
+            # the RPN head consumes the dequantized maps; ROI pooling
+            # reads the s8 maps directly (max commutes with the monotone
+            # dequant, and the gather-bound pool moves half the bytes)
+            feat_q = (fbv, fim, s_bv, s_im)
         else:
+            feat_q = None
             si = stem_impl
             if si is None and _fused_stem(compute_dtype):
                 si = "pallas"
@@ -164,21 +169,31 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
         # rois_per_step must divide the per-frame roi count P (blocks may
         # not straddle frames); 12 divides the 300-roi test budget
         rt = 12 if P % 12 == 0 else 1
-        pooled_bv = roi_pool_fast(c5, flat_bv, spatial_scale=1.0 / 8,
+        pool_src_bv, pool_src_img = (c5, c5_2) if feat_q is None else (
+            feat_q[0], feat_q[1])
+        pooled_bv = roi_pool_fast(pool_src_bv, flat_bv,
+                                  spatial_scale=1.0 / 8,
                                   chunk=512, rois_per_step=rt)
-        pooled_img = roi_pool_fast(c5_2, flat_img, spatial_scale=1.0 / 8,
+        pooled_img = roi_pool_fast(pool_src_img, flat_img,
+                                   spatial_scale=1.0 / 8,
                                    max_in_h=max_img_h, max_in_w=max_img_w,
                                    chunk=512, rois_per_step=rt)
-        if qstate is not None and qstate.get("head") is not None:
-            from mv3d_tf_tpu import quant as Q
-            s_bv = qstate["trunk_bv"]["conv5_3"]["s_out"]
-            s_im = qstate["trunk_img"]["conv5_3"]["s_out"]
-            bv_q = jnp.clip(jnp.round(pooled_bv.astype(jnp.float32) / s_bv),
-                            0, 127).astype(jnp.int8)
-            im_q = jnp.clip(jnp.round(pooled_img.astype(jnp.float32) / s_im),
-                            0, 127).astype(jnp.int8)
-            cls_score, cls_prob, bbox_pred = Q.fusion_head_int8(
-                params, qstate["head"], bv_q, s_bv, im_q, s_im)
+        if feat_q is not None:
+            _, _, s_bv, s_im = feat_q
+            if qstate.get("head") is not None:
+                # s8 pooled features feed the int8 head directly — no
+                # dequant/requant round-trip
+                from mv3d_tf_tpu import quant as Q
+                cls_score, cls_prob, bbox_pred = Q.fusion_head_int8(
+                    params, qstate["head"], pooled_bv, s_bv,
+                    pooled_img, s_im)
+            else:
+                pooled_bv = (pooled_bv.astype(jnp.bfloat16)
+                             * s_bv).astype(jnp.bfloat16)
+                pooled_img = (pooled_img.astype(jnp.bfloat16)
+                              * s_im).astype(jnp.bfloat16)
+                cls_score, cls_prob, bbox_pred = mv3d.fusion_head(
+                    params, pooled_bv, pooled_img, dtype=head_dtype)
         else:
             cls_score, cls_prob, bbox_pred = mv3d.fusion_head(
                 params, pooled_bv, pooled_img, dtype=head_dtype)

@@ -109,7 +109,11 @@ def roi_pool(feat, rois, pooled=7, spatial_scale=1.0 / 8,
     mb_h = min(H, -(-cells_h // pooled) + 2)
     mb_w = min(W, -(-cells_w // pooled) + 2)
 
-    neg = jnp.asarray(-jnp.inf, dtype)
+    # int8 feature maps (quantized trunk) have no -inf; the dtype min is
+    # an exact identity for max (values are [0,127] post-requant-relu)
+    neg = (jnp.asarray(jnp.iinfo(dtype).min, dtype)
+           if jnp.issubdtype(dtype, jnp.integer)
+           else jnp.asarray(-jnp.inf, dtype))
     hs_i, ws_i = hstart, wstart
     hlen = hend - hstart
     wlen = wend - wstart

@@ -95,13 +95,18 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
     # (fewer per-roi passes): BEV 75x80x512 bf16 fits whole (12.3 MB),
     # the image view (48x160) drops to 256.
     budget = 13 * 1024 * 1024
-    CT = min(C, 256 if dtype == jnp.bfloat16 else 128)
-    if (dtype == jnp.bfloat16 and C % 512 == 0
-            and 2 * H * W_pad * 512 * 2 <= budget):
+    isz = jnp.dtype(dtype).itemsize
+    CT = min(C, 256 if isz <= 2 else 128)
+    if C % 512 == 0 and 2 * H * W_pad * 512 * isz <= budget:
         CT = min(C, 512)
     if C % CT != 0:
         CT = min(C, 128)
     assert C % CT == 0
+    # python scalar (not a jnp array: pallas kernels may not capture
+    # traced constants); int features use the dtype min — an exact max
+    # identity for the [0,127] post-requant-relu range
+    neg = (int(jnp.iinfo(dtype).min)
+           if jnp.issubdtype(dtype, jnp.integer) else -jnp.inf)
 
     # column-bin window: mb_w columns starting at an 8-ALIGNED offset
     # (Mosaic allows dynamic sublane slices at multiples of 8), so the
@@ -132,7 +137,7 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
                 acc = jax.lax.fori_loop(
                     h0, h1,
                     lambda h, a: jnp.maximum(a, feat_ref[0, h]),
-                    jnp.full((W_pad, CT), -jnp.inf, dtype))
+                    jnp.full((W_pad, CT), neg, dtype))
                 acc_ref[:] = acc
                 for pw in range(pooled):
                     w0 = ws_ref[pw, r]
@@ -143,7 +148,7 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
                     mask = (off >= w0) & (off < w1)
                     m = jnp.max(
                         jnp.where(mask, win,
-                                  jnp.full((WIN, CT), -jnp.inf, dtype)),
+                                  jnp.full((WIN, CT), neg, dtype)),
                         axis=0)
                     empty = (h1 <= h0) | (w1 <= w0)
                     out_ref[rr, ph, pw, :] = jnp.where(

@@ -204,3 +204,35 @@ def test_custom_vjp_ties_split_evenly(rng):
     np.testing.assert_allclose(g2[1, 1, 0], 0.5, rtol=1e-6)
     np.testing.assert_allclose(g2[2, 3, 0], 0.5, rtol=1e-6)
     np.testing.assert_allclose(g2.sum(), 1.0, rtol=1e-6)
+
+
+def test_int8_features_xla_path(rng):
+    """int8 feature maps pool exactly like dequantize-then-pool (max
+    commutes with the monotone dequant); empty bins stay 0."""
+    q = rng.randint(0, 128, (20, 24, 8)).astype(np.int8)
+    s = np.float32(0.037)
+    rois = _rand_rois(rng, 24, 160, 192)
+    rois[0] = [0, 10, 10, 10, 10]  # degenerate -> some empty bins
+    got_q = np.asarray(roi_pool(jnp.asarray(q), jnp.asarray(rois),
+                                pooled=7, spatial_scale=1 / 8))
+    ref = np.asarray(roi_pool(jnp.asarray(q.astype(np.float32) * s),
+                              jnp.asarray(rois), pooled=7,
+                              spatial_scale=1 / 8))
+    np.testing.assert_allclose(got_q.astype(np.float32) * s, ref,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_int8_features_pallas_interpret(rng):
+    """The Pallas kernel on int8 features matches the XLA path
+    (interpret mode; real-chip coverage in tools/tpu_selfcheck.py)."""
+    from mv3d_tf_tpu.ops.roi_pool_pallas import roi_pool_pallas
+    q = rng.randint(0, 128, (2, 20, 24, 128)).astype(np.int8)
+    rois = _rand_rois(rng, 24, 160, 192)
+    # rois_per_step blocks may not straddle frames: 12 rois per frame
+    rois[12:, 0] = 1.0
+    got = np.asarray(roi_pool_pallas(jnp.asarray(q), jnp.asarray(rois),
+                                     pooled=7, spatial_scale=1 / 8,
+                                     interpret=True, rois_per_step=12))
+    ref = np.asarray(roi_pool(jnp.asarray(q), jnp.asarray(rois),
+                              pooled=7, spatial_scale=1 / 8))
+    np.testing.assert_array_equal(got, ref)
