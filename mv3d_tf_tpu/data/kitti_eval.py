@@ -195,7 +195,8 @@ def iou_3d_aabb(a, b):
     return inter / np.maximum(union, 1e-9)
 
 
-def evaluate_ap_difficulty(frames, iou_thresh, difficulty):
+def evaluate_ap_difficulty(frames, iou_thresh, difficulty,
+                           use_native=True):
     """Generic per-difficulty AP.
 
     frames: list of dicts with keys
@@ -209,9 +210,24 @@ def evaluate_ap_difficulty(frames, iou_thresh, difficulty):
     IGNORED (not counted in npos; detections matching them are neither TP
     nor FP); detections shorter than the difficulty's min height that
     match nothing are ignored rather than counted as FP.
+
+    use_native: run the O(N*M) greedy-match loop in C++
+    (native/kitti_eval.cc — the reference's absent evaluate_object
+    binary rebuilt) when the frames use one of the two standard IoU
+    kernels; the numpy loop below is the semantic oracle
+    (tests/test_kitti_eval_native.py pins them equal).
     """
     min_h, _, _ = DIFFICULTY[difficulty]
     lvl_max = {"easy": 1, "moderate": 2, "hard": 3}[difficulty]
+    if use_native and frames:
+        kinds = {id(iou_2d): 0, id(iou_3d_aabb): 1}
+        kind = kinds.get(id(frames[0]["iou"]))
+        if kind is not None and all(
+                id(fr["iou"]) == id(frames[0]["iou"]) for fr in frames):
+            from mv3d_tf_tpu.utils.native import eval_ap_native
+            res = eval_ap_native(frames, kind, iou_thresh, min_h, lvl_max)
+            if res is not None:
+                return {"ap": res[0], "num_gt": res[1]}
     records = []
     npos = 0
     for fr in frames:

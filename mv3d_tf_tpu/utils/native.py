@@ -103,3 +103,96 @@ def load_velodyne_batch(paths, bucket=131072, n_threads=8):
         bad = [paths[i] for i in np.where(counts < 0)[0]]
         raise IOError("failed to read: " + ", ".join(bad))
     return out, valid.astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# Native KITTI official-protocol AP (native/kitti_eval.cc) — the C++
+# twin of data/kitti_eval.evaluate_ap_difficulty's greedy-match loop.
+# ---------------------------------------------------------------------------
+
+_EVAL_SRC = osp.join(_REPO, "native", "kitti_eval.cc")
+_EVAL_SO = osp.join(_BUILD, "libkitti_eval.so")
+_EVAL_LIB = None
+_EVAL_TRIED = False
+
+
+def get_eval_lib():
+    """Load (building if needed) the native evaluator, or None."""
+    global _EVAL_LIB, _EVAL_TRIED
+    if _EVAL_LIB is not None or _EVAL_TRIED:
+        return _EVAL_LIB
+    _EVAL_TRIED = True
+    try:
+        if (not osp.exists(_EVAL_SO)
+                or os.path.getmtime(_EVAL_SO)
+                < os.path.getmtime(_EVAL_SRC)):
+            os.makedirs(_BUILD, exist_ok=True)
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 _EVAL_SRC, "-o", _EVAL_SO],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_EVAL_SO)
+        lib.kitti_eval_ap.restype = None
+        lib.kitti_eval_ap.argtypes = [
+            ctypes.POINTER(ctypes.c_float),   # dets
+            ctypes.POINTER(ctypes.c_int64),   # det_off
+            ctypes.POINTER(ctypes.c_float),   # scores
+            ctypes.POINTER(ctypes.c_float),   # det_h
+            ctypes.POINTER(ctypes.c_float),   # gts
+            ctypes.POINTER(ctypes.c_int64),   # gt_off
+            ctypes.POINTER(ctypes.c_int32),   # levels
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_float, ctypes.c_float, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double),  # out[2]
+        ]
+        _EVAL_LIB = lib
+    except Exception as e:              # toolchain missing: numpy fallback
+        print("native evaluator unavailable ({}); using numpy fallback"
+              .format(e))
+        _EVAL_LIB = None
+    return _EVAL_LIB
+
+
+def eval_ap_native(frames, iou_kind, iou_thresh, min_h, lvl_max):
+    """Run kitti_eval_ap over a list of frame dicts (see
+    kitti_eval.evaluate_ap_difficulty for the schema). Returns
+    (ap, npos) or None when the native library is unavailable."""
+    lib = get_eval_lib()
+    if lib is None:
+        return None
+    dgeom = 6 if iou_kind == 1 else 4
+
+    def cat(key, width):
+        parts = [np.asarray(fr[key], np.float32).reshape(-1, width)
+                 if width else np.asarray(fr[key], np.float32).ravel()
+                 for fr in frames]
+        off = np.zeros(len(frames) + 1, np.int64)
+        for i, p in enumerate(parts):
+            off[i + 1] = off[i] + len(p)
+        return (np.ascontiguousarray(np.concatenate(parts))
+                if parts else np.zeros((0,), np.float32)), off
+
+    dets, det_off = cat("dets", dgeom)
+    scores, _ = cat("scores", 0)
+    det_h, _ = cat("det_heights", 0)
+    gts, gt_off = cat("gts", dgeom)
+    levels = np.concatenate(
+        [np.asarray(fr["levels"], np.int32).ravel() for fr in frames]
+    ).astype(np.int32) if frames else np.zeros((0,), np.int32)
+    out = np.zeros(2, np.float64)
+
+    def fp(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    lib.kitti_eval_ap(
+        fp(dets.reshape(-1)), det_off.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)),
+        fp(scores), fp(det_h),
+        fp(gts.reshape(-1)), gt_off.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)),
+        levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(frames)), ctypes.c_int32(dgeom),
+        ctypes.c_int32(iou_kind), ctypes.c_float(iou_thresh),
+        ctypes.c_float(min_h), ctypes.c_int32(lvl_max),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return float(out[0]), int(out[1])
