@@ -18,7 +18,7 @@ import numpy as np
 
 from mv3d_tf_tpu import geometry as G
 from mv3d_tf_tpu import geometry_np as Gnp
-from mv3d_tf_tpu.ops.bev import point_cloud_2_top_np
+from mv3d_tf_tpu.utils.native import point_cloud_2_top_host
 
 # canonical calib (velodyne x-forward -> camera z-forward, zero translation
 # to match the legacy inverse transform that drops translation anyway)
@@ -120,7 +120,7 @@ def generate(root, num_frames=4, cars_per_frame=3, seed=0,
                    (rng.rand(*image_hw, 3) * 60 + 90).astype(np.uint8))
         if write_bv:
             np.save(osp.join(obj, "lidar_bv", index + ".npy"),
-                    point_cloud_2_top_np(scan))
+                    point_cloud_2_top_host(scan))
 
     half = max(1, num_frames // 2)
     split_frames = {"train": indices[:half], "val": indices[half:],

@@ -196,3 +196,104 @@ def eval_ap_native(frames, iou_kind, iou_thresh, min_h, lvl_max):
         ctypes.c_float(min_h), ctypes.c_int32(lvl_max),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return float(out[0]), int(out[1])
+
+
+# ---------------------------------------------------------------------------
+# Native host BEV rasterizer (native/bev_raster.cc) — C++ twin of
+# ops/bev.point_cloud_2_top_np for offline dataset preparation.
+# ---------------------------------------------------------------------------
+
+_BEV_SRC = osp.join(_REPO, "native", "bev_raster.cc")
+_BEV_SO = osp.join(_BUILD, "libbev_raster.so")
+_BEV_LIB = None
+_BEV_TRIED = False
+
+
+def get_bev_lib():
+    global _BEV_LIB, _BEV_TRIED
+    if _BEV_LIB is not None or _BEV_TRIED:
+        return _BEV_LIB
+    _BEV_TRIED = True
+    try:
+        if (not osp.exists(_BEV_SO)
+                or os.path.getmtime(_BEV_SO)
+                < os.path.getmtime(_BEV_SRC)):
+            os.makedirs(_BUILD, exist_ok=True)
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 "-pthread", _BEV_SRC, "-o", _BEV_SO],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_BEV_SO)
+        common = [ctypes.c_float] * 5 + [ctypes.c_double] * 2 + \
+                 [ctypes.c_int32] * 6
+        lib.bev_raster.restype = None
+        lib.bev_raster.argtypes = (
+            [ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+            + common + [ctypes.POINTER(ctypes.c_float)])
+        lib.bev_raster_files.restype = None
+        lib.bev_raster_files.argtypes = (
+            [ctypes.c_char_p, ctypes.c_int64] + common
+            + [ctypes.POINTER(ctypes.c_float),
+               ctypes.POINTER(ctypes.c_int64), ctypes.c_int64])
+        _BEV_LIB = lib
+    except Exception as e:              # toolchain missing: numpy fallback
+        print("native bev rasterizer unavailable ({}); numpy fallback"
+              .format(e))
+        _BEV_LIB = None
+    return _BEV_LIB
+
+
+def _bev_grid_args():
+    from mv3d_tf_tpu.ops import bev as B
+    from mv3d_tf_tpu.geometry import (BEV_C, BEV_H, BEV_W, HEIGHT_MAX,
+                                      HEIGHT_MIN, N_SLICES, RES,
+                                      TOP_X_MAX, TOP_X_MIN, TOP_Y_MAX,
+                                      ZRES)
+    return ([ctypes.c_float(RES), ctypes.c_float(ZRES),
+             ctypes.c_float(TOP_X_MIN), ctypes.c_float(TOP_X_MAX),
+             ctypes.c_float(TOP_Y_MAX),
+             ctypes.c_double(HEIGHT_MIN), ctypes.c_double(HEIGHT_MAX),
+             ctypes.c_int32(BEV_H), ctypes.c_int32(BEV_W),
+             ctypes.c_int32(BEV_C), ctypes.c_int32(N_SLICES),
+             ctypes.c_int32(B._X_SHIFT), ctypes.c_int32(B._Y_SHIFT)],
+            (BEV_H, BEV_W, BEV_C))
+
+
+def point_cloud_2_top_host(points):
+    """(N,4) f32 points -> (601,601,9) f32 BEV raster. Native when
+    available, else the numpy twin (bit-identical, tests/test_bev.py)."""
+    lib = get_bev_lib()
+    if lib is None:
+        from mv3d_tf_tpu.ops.bev import point_cloud_2_top_np
+        return point_cloud_2_top_np(np.asarray(points, np.float32))
+    pts = np.ascontiguousarray(np.asarray(points, np.float32))
+    args, shape = _bev_grid_args()
+    out = np.zeros(shape, np.float32)
+    lib.bev_raster(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(pts)), *args,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
+def bev_raster_files(paths, n_threads=8):
+    """Read velodyne .bin files and rasterize each (threaded native IO).
+    Returns (N, 601, 601, 9) f32. Falls back to numpy per file."""
+    lib = get_bev_lib()
+    if lib is None:
+        return np.stack([point_cloud_2_top_host(
+            np.fromfile(p, np.float32).reshape(-1, 4)) for p in paths])
+    args, shape = _bev_grid_args()
+    n = len(paths)
+    out = np.zeros((n,) + shape, np.float32)
+    counts = np.zeros((n,), np.int64)
+    blob = b"".join(p.encode() + b"\0" for p in paths)
+    lib.bev_raster_files(
+        blob, ctypes.c_int64(n), *args,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n_threads))
+    if (counts < 0).any():
+        bad = [paths[i] for i in np.where(counts < 0)[0]]
+        raise IOError("failed to read: " + ", ".join(bad))
+    return out

@@ -48,3 +48,53 @@ def test_truncation_beyond_bucket(scans):
 def test_missing_file_errors(tmp_path):
     with pytest.raises(IOError):
         native.load_velodyne_padded(str(tmp_path / "nope.bin"), bucket=16)
+
+
+def test_bev_raster_native_bit_parity():
+    """native/bev_raster.cc == point_cloud_2_top_np bit-for-bit,
+    including boundary coordinates and last-write-wins duplicates."""
+    from mv3d_tf_tpu.ops.bev import point_cloud_2_top_np
+    from mv3d_tf_tpu.utils.native import (get_bev_lib,
+                                          point_cloud_2_top_host)
+    if get_bev_lib() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.RandomState(5)
+    n = 40000
+    pts = np.zeros((n, 4), np.float32)
+    pts[:, 0] = rng.rand(n) * 80 - 10
+    pts[:, 1] = rng.rand(n) * 80 - 40
+    pts[:, 2] = rng.rand(n) * 4 - 3
+    pts[:, 3] = rng.rand(n)
+    # exact cell-boundary coords + duplicate cells (winner rules)
+    pts[0] = [10.0, -17.3, -1.0, 0.5]
+    pts[1] = [10.0, -17.3, -1.0, 0.7]
+    pts[2] = [0.05, 29.95, 0.39, 0.9]
+    ref = point_cloud_2_top_np(pts)
+    got = point_cloud_2_top_host(pts)
+    assert got.shape == ref.shape
+    assert (got == ref).all(), np.abs(got - ref).max()
+
+
+def test_bev_raster_files_native(tmp_path):
+    """Threaded file rasterization == per-file numpy twin."""
+    from mv3d_tf_tpu.ops.bev import point_cloud_2_top_np
+    from mv3d_tf_tpu.utils.native import bev_raster_files, get_bev_lib
+    if get_bev_lib() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.RandomState(6)
+    paths, refs = [], []
+    for i in range(5):
+        n = rng.randint(100, 3000)
+        pts = np.zeros((n, 4), np.float32)
+        pts[:, 0] = rng.rand(n) * 70 - 5
+        pts[:, 1] = rng.rand(n) * 70 - 35
+        pts[:, 2] = rng.rand(n) * 4 - 3
+        pts[:, 3] = rng.rand(n)
+        p = str(tmp_path / "{:06d}.bin".format(i))
+        pts.tofile(p)
+        paths.append(p)
+        refs.append(point_cloud_2_top_np(pts))
+    got = bev_raster_files(paths, n_threads=3)
+    assert (got == np.stack(refs)).all()

@@ -65,7 +65,8 @@ def main():
         val = np.zeros((args.batch, args.bucket), bool)
         pts[:len(chunk)], val[:len(chunk)] = pts_c, val_c
         if args.host:
-            tops = np.stack([bev_ops.point_cloud_2_top_np(
+            # native C++ rasterizer (bit-identical numpy fallback inside)
+            tops = np.stack([native.point_cloud_2_top_host(
                 pts[bi][val[bi]]) for bi in range(len(chunk))])
         else:
             tops = np.asarray(bev_ops.point_cloud_2_top_batch(pts, val))
