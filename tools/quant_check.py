@@ -27,6 +27,13 @@ def main():
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--calib_frames", type=int, default=8)
     ap.add_argument("--model", default=None)
+    ap.add_argument("--stem", default=None,
+                    choices=[None, "bf16", "s2d", "s2d_int8"],
+                    help="int8-path stem mode (None = bf16)")
+    ap.add_argument("--conv-impl", default="xla",
+                    choices=["xla", "pallas"])
+    ap.add_argument("--int8-head", action="store_true",
+                    help="also quantize + gate the fc6/fc7 head")
     args = ap.parse_args()
 
     import jax
@@ -64,12 +71,19 @@ def main():
 
     cb, ci, cc, _ = load_split("train", args.calib_frames)
     log("calibrating on {} train frames...".format(len(cb)))
-    qs = Q.build_quant_state(params, cb, ci - PIXEL_MEANS)
+    pool_bv = pool_img = None
+    if args.int8_head:
+        pool_bv, pool_img = Q.calibrate_pooled_features(
+            params, cb, ci - PIXEL_MEANS, cc)
+    qs = Q.build_quant_state(params, cb, ci - PIXEL_MEANS,
+                             pooled_bv=pool_bv, pooled_img=pool_img)
 
     vb, vi, vc, gts = load_split("val", args.frames)
     B = len(vb)
     det_f16 = build_detect_batch_fn(compute_dtype=jnp.bfloat16)
-    det_int8 = build_detect_batch_fn(compute_dtype=jnp.bfloat16, quant=qs)
+    det_int8 = build_detect_batch_fn(compute_dtype=jnp.bfloat16, quant=qs,
+                                     quant_conv_impl=args.conv_impl,
+                                     stem_impl=args.stem)
 
     vb_d, vi_d, vc_d = (jax.device_put(vb), jax.device_put(vi),
                         jax.device_put(vc))
