@@ -118,6 +118,31 @@ def _bench_train(args, jax, jnp, np, params, bev, image, calib,
 
     step, tx = build_train_step(compute_dtype=jnp.bfloat16,
                                 stem_impl=stem_impl)
+    if args.batch > 1:
+        # single-chip throughput-mode training: vmap the per-frame
+        # forward+loss over a batch, average, one optimizer update
+        # (the reference recipe is batch 1; this measures the
+        # batch>1 variant, VERDICT r1 #9)
+        import functools
+        import optax
+        from mv3d_tf_tpu.train import build_forward_losses
+        fwd = build_forward_losses(compute_dtype=jnp.bfloat16,
+                                   pool_impl="xla",
+                                   stem_impl=stem_impl)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, batch, key):  # noqa: F811
+            keys = jax.random.split(key, args.batch)
+
+            def loss_fn(p):
+                m = jax.vmap(lambda b, k: fwd(p, b, k),
+                             in_axes=(0, 0))(batch, keys)
+                m = jax.tree.map(lambda a: jnp.mean(a), m)
+                return m["loss"], m
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
     opt_state = tx.init(params)
     grid = get_anchor_grid(75, 75)
     inside = np.where(grid.inside)[0]
@@ -138,13 +163,30 @@ def _bench_train(args, jax, jnp, np, params, bev, image, calib,
         gt_cnr[g, :24] = np.asarray(G.lidar_3d_to_corners(
             gt_3d[g:g + 1, :6]))[0]
         gt_cnr[g, 24] = 1.0
-    batch1 = {
-        "bev": bev[0], "image": image[0], "calib": calib[0],
-        "gt_boxes_bv": jax.device_put(gt_bv),
-        "gt_boxes_3d": jax.device_put(gt_3d),
-        "gt_boxes_corners": jax.device_put(gt_cnr),
-        "gt_valid": jax.device_put(gt_valid),
-    }
+    if args.batch > 1:
+        nb = args.batch
+        rep = lambda a: jax.device_put(  # noqa: E731
+            np.broadcast_to(np.asarray(a), (nb,) + np.asarray(a).shape
+                            ).copy())
+        batch1 = {
+            "bev": bev[:nb] if bev.shape[0] >= nb else rep(bev[0]),
+            "image": (image[:nb] if image.shape[0] >= nb
+                      else rep(image[0])),
+            "calib": (calib[:nb] if calib.shape[0] >= nb
+                      else rep(calib[0])),
+            "gt_boxes_bv": rep(gt_bv),
+            "gt_boxes_3d": rep(gt_3d),
+            "gt_boxes_corners": rep(gt_cnr),
+            "gt_valid": rep(gt_valid),
+        }
+    else:
+        batch1 = {
+            "bev": bev[0], "image": image[0], "calib": calib[0],
+            "gt_boxes_bv": jax.device_put(gt_bv),
+            "gt_boxes_3d": jax.device_put(gt_3d),
+            "gt_boxes_corners": jax.device_put(gt_cnr),
+            "gt_valid": jax.device_put(gt_valid),
+        }
     key = jax.random.PRNGKey(0)
 
     def barrier(x):
@@ -161,8 +203,10 @@ def _bench_train(args, jax, jnp, np, params, bev, image, calib,
             p_t, o_t, m = step(p_t, o_t, batch1, key)
         barrier(m["loss"])
         ts.append((time.perf_counter() - t0) / args.iters)
-    log("train step: {:.1f} ms/iter (stem={})".format(
-        min(ts) * 1000, stem_impl or "literal"))
+    dt = min(ts)
+    log("train step: {:.1f} ms/iter, {:.1f} frames/s (batch={}, stem={})"
+        .format(dt * 1000, args.batch / dt, args.batch,
+                stem_impl or "literal"))
 
 
 if __name__ == "__main__":
