@@ -128,7 +128,7 @@ def _load_eval_frame(imdb, i, image_dtype=np.float32, bev_dtype=np.float32):
 def test_net(params, imdb, weights_filename="default", max_per_image=300,
              thresh=0.05, compute_dtype=None, log=print,
              frame_indices=None, detect_fn=None, evaluate=True,
-             batch_size=8):
+             batch_size=8, quant_cfg=None):
     """Evaluate over an imdb; returns (all_boxes, all_boxes_cnr).
 
     test_mv.py:321-517 structure: all_boxes[cls][image] = (N,5) BEV dets,
@@ -199,11 +199,35 @@ def test_net(params, imdb, weights_filename="default", max_per_image=300,
                 n + 1, len(indices), timer.average_time))
     elif indices:
         B = max(1, min(batch_size, len(indices)))
+        qs = None
+        q_kwargs = {}
+        if quant_cfg is not None:
+            # int8 PTQ eval: calibrate on the first frames of this imdb
+            # (accuracy gate: tools/quant_check.py with the same flags)
+            from mv3d_tf_tpu import quant as Q
+            from mv3d_tf_tpu.eval import PIXEL_MEANS
+            qc = dict(quant_cfg)
+            n_cal = int(qc.pop("calib_frames", 8))
+            frames = [_load_eval_frame(imdb, i)
+                      for i in indices[:max(1, min(n_cal, len(indices)))]]
+            cb = np.stack([f[1] for f in frames]).astype(np.float32)
+            ci = np.stack([f[0] for f in frames]).astype(np.float32) \
+                - PIXEL_MEANS
+            cc = np.stack([f[2] for f in frames]).astype(np.float32)
+            pool_bv = pool_img = None
+            if qc.pop("int8_head", False):
+                pool_bv, pool_img = Q.calibrate_pooled_features(
+                    params, cb, ci, cc)
+            log("int8 calibration on {} frames".format(len(cb)))
+            qs = Q.build_quant_state(params, cb, ci, pooled_bv=pool_bv,
+                                     pooled_img=pool_img)
+            q_kwargs = {"quant_conv_impl": qc.pop("conv_impl", "xla"),
+                        "stem_impl": qc.pop("stem", None)}
         detect_batch = build_detect_batch_fn(
             pre_nms_top_n=cfg.TEST.RPN_PRE_NMS_TOP_N,
             post_nms_top_n=cfg.TEST.RPN_POST_NMS_TOP_N,
             rpn_nms_thresh=cfg.TEST.RPN_NMS_THRESH,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, quant=qs, **q_kwargs)
 
         nb = -(-len(indices) // B)
         q = queue.Queue(maxsize=2)

@@ -40,6 +40,16 @@ def parse_args():
     parser.add_argument("--merge_shards", dest="merge_shards",
                         action="store_true",
                         help="merge per-host shard pickles and evaluate")
+    parser.add_argument("--int8", dest="int8", action="store_true",
+                        help="int8 PTQ eval (calibrates on the first "
+                             "frames; tools/quant_check.py is the "
+                             "accuracy gate)")
+    parser.add_argument("--int8_stem", dest="int8_stem", default=None,
+                        choices=[None, "bf16", "s2d", "s2d_int8"])
+    parser.add_argument("--int8_conv_impl", dest="int8_conv_impl",
+                        default="xla", choices=["xla", "pallas"])
+    parser.add_argument("--int8_head", dest="int8_head",
+                        action="store_true")
     parser.add_argument("--set", dest="set_cfgs", default=None,
                         nargs=argparse.REMAINDER)
     if len(sys.argv) == 1:
@@ -115,8 +125,13 @@ def main():
                               compute_dtype=dtype)
         print("wrote shard " + path)
     else:
+        quant_cfg = None
+        if args.int8:
+            quant_cfg = {"stem": args.int8_stem,
+                         "conv_impl": args.int8_conv_impl,
+                         "int8_head": args.int8_head}
         test_net(params, imdb, weights_filename=weights_filename,
-                 compute_dtype=dtype)
+                 compute_dtype=dtype, quant_cfg=quant_cfg)
 
 
 if __name__ == "__main__":
