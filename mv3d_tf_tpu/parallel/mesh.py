@@ -83,6 +83,40 @@ def build_parallel_train_step(mesh, lr=1e-5, optimizer=None, axis="data",
     return train_step, tx
 
 
+def build_spatial_detect(mesh, detect_single=None, axis="data", **kwargs):
+    """SPATIALLY sharded single-frame inference: the 601^2 BEV and the
+    image are split across chips along their ROW dim (SURVEY §2.8's
+    optional spatial-sharding item — latency mode, one frame across the
+    whole slice, vs build_parallel_detect's frame-parallel throughput
+    mode).
+
+    Implementation is pure sharding annotations: XLA's SPMD partitioner
+    spatially partitions the SAME-padded convolutions and inserts the
+    halo exchanges (collective-permutes over ICI) itself — the
+    scaling-book recipe of "annotate, let XLA insert collectives". The
+    small post-trunk tensors (75^2 features, proposals, pooled ROIs)
+    get all-gathered where propagation demands.
+
+    detect(params, bev (H,W,9), image (Hi,Wi,3), calib (4,12)) ->
+    single-frame detection dict (replicated).
+    """
+    if detect_single is None:
+        from mv3d_tf_tpu.eval import build_detect_fn
+        detect_single = build_detect_fn(**kwargs)
+    row_spec = NamedSharding(mesh, P(axis))      # shard dim 0 = rows
+    rep = NamedSharding(mesh, P())
+
+    @jax.jit
+    def detect(params, bev, image, calib):
+        bev = jax.lax.with_sharding_constraint(bev, row_spec)
+        image = jax.lax.with_sharding_constraint(image, row_spec)
+        out = detect_single(params, bev, image, calib)
+        return jax.tree.map(
+            lambda t: jax.lax.with_sharding_constraint(t, rep), out)
+
+    return detect
+
+
 def build_parallel_detect(mesh, detect_single=None, axis="data", **kwargs):
     """Batched, mesh-sharded inference: (params, bev(B,...), image(B,...),
     calib(B,4,12)) -> stacked detection dict."""

@@ -66,3 +66,31 @@ def test_parallel_detect_matches_single():
                 np.asarray(det[k][b], np.float32),
                 np.asarray(one[k], np.float32), rtol=1e-5, atol=1e-5,
                 err_msg="frame {} key {}".format(b, k))
+
+
+@pytest.mark.slow
+def test_spatial_detect_matches_single():
+    """build_spatial_detect (rows of ONE frame split across the 8-CPU
+    mesh, XLA-inserted conv halo exchanges) == the single-device
+    detector (SURVEY 2.8 spatial-sharding item)."""
+    from mv3d_tf_tpu.eval import build_detect_fn
+    from mv3d_tf_tpu.models import mv3d
+    from mv3d_tf_tpu.parallel.mesh import build_spatial_detect, replicate
+
+    mesh = make_mesh()
+    params = mv3d.init_params(jax.random.PRNGKey(2))
+    kwargs = dict(feat_h=10, feat_w=10, pre_nms_top_n=50,
+                  post_nms_top_n=10)
+    rng = np.random.RandomState(6)
+    bev = rng.rand(81, 81, 9).astype(np.float32)   # 81 rows: uneven/8
+    image = (rng.rand(88, 120, 3) * 255).astype(np.float32)
+    calib = graft._example_calib()
+
+    sdetect = build_spatial_detect(mesh, **kwargs)
+    det = sdetect(replicate(mesh, params), bev, image, calib)
+    one = build_detect_fn(**kwargs)(params, bev, image, calib)
+    for k in ("scores", "boxes_bv", "boxes_cnr_r", "valid"):
+        np.testing.assert_allclose(
+            np.asarray(det[k], np.float32),
+            np.asarray(one[k], np.float32), rtol=1e-5, atol=1e-5,
+            err_msg=k)
