@@ -185,9 +185,10 @@ def main():
     import os.path as _osp
     here = _osp.dirname(_osp.abspath(__file__))
     probes = [
-        ("int8 full stack (s2d_int8 stem, pallas s8 convs, int8 head)",
-         ["--int8", "--int8-head", "--conv-impl", "pallas",
-          "--stem", "s2d_int8"]),
+        ("int8 full stack (s2d_int8 stem, pallas s8 convs, int8 "
+         "head+rpn)",
+         ["--int8", "--int8-head", "--int8-rpn", "--conv-impl",
+          "pallas", "--stem", "s2d_int8"]),
         ("bf16 + s2d stem",
          ["--stem", "s2d"]),
     ]

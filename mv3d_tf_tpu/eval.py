@@ -99,7 +99,8 @@ def build_detect_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
 def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
                           post_nms_top_n=300, rpn_nms_thresh=0.7,
                           compute_dtype=None, quant=None,
-                          quant_conv_impl="xla", stem_impl=None):
+                          quant_conv_impl="xla", stem_impl=None,
+                          quant_rpn=False):
     """Natively batched multi-frame detector (throughput path).
 
     Trunks/RPN/fusion-head run as ONE batched computation (bigger MXU
@@ -138,12 +139,19 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
                 params, qstate, bev, image,
                 stem=(stem_impl or "bf16"),
                 conv_impl=quant_conv_impl)
-            c5 = (fbv.astype(jnp.bfloat16) * s_bv).astype(jnp.bfloat16)
-            c5_2 = (fim.astype(jnp.bfloat16) * s_im).astype(jnp.bfloat16)
-            # the RPN head consumes the dequantized maps; ROI pooling
-            # reads the s8 maps directly (max commutes with the monotone
-            # dequant, and the gather-bound pool moves half the bytes)
+            # ROI pooling reads the s8 maps directly (max commutes with
+            # the monotone dequant, and the gather-bound pool moves half
+            # the bytes); with quant_rpn the RPN head does too, and no
+            # dequantized trunk map is materialized at all
             feat_q = (fbv, fim, s_bv, s_im)
+            if quant_rpn:
+                rpn_cls, rpn_box = Q.rpn_head_int8(
+                    params, fbv, s_bv, conv_impl=quant_conv_impl)
+            else:
+                c5 = (fbv.astype(jnp.bfloat16)
+                      * s_bv).astype(jnp.bfloat16)
+                rpn_cls, rpn_box = mv3d.rpn_head(params, c5,
+                                                 dtype=head_dtype)
         else:
             feat_q = None
             si = stem_impl
@@ -151,7 +159,8 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
                 si = "pallas"
             c5, c5_2 = mv3d.extract_features(
                 params, bev, image, dtype=compute_dtype, stem_impl=si)
-        rpn_cls, rpn_box = mv3d.rpn_head(params, c5, dtype=head_dtype)
+            rpn_cls, rpn_box = mv3d.rpn_head(params, c5,
+                                             dtype=head_dtype)
         prob = mv3d.rpn_probs(rpn_cls)
 
         rois = jax.vmap(

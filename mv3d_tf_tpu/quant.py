@@ -408,6 +408,41 @@ def _s2d_stem_int8(params, qtrunk, x, suffix="", conv_impl="pallas"):
     return stem_q, s2
 
 
+def rpn_head_int8(params, feat_q, s_in, conv_impl="xla"):
+    """RPN head consuming the s8 trunk features directly: the 3x3
+    512->512 conv runs s8 on the MXU (weights quantized in-graph,
+    per-output-channel) with a fused dequant+ReLU epilogue; the tiny
+    1x1 score/delta heads stay bf16 (accuracy-critical, no MXU win at
+    8/24 output channels). Twin of mv3d.rpn_head."""
+    from mv3d_tf_tpu.models import mv3d, vgg
+    p = params["rpn_conv/3x3"]
+    w = p["weights"].astype(jnp.float32)
+    s_w = jnp.maximum(
+        jnp.max(jnp.abs(w).reshape(-1, w.shape[-1]), axis=0) / 127.0,
+        1e-12)
+    w_q = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+    kk = (s_in * s_w).astype(jnp.float32)
+    bb = p["biases"].astype(jnp.float32)
+    cin, cout = w.shape[2], w.shape[3]
+    if (conv_impl == "pallas" and cin % 128 == 0 and cout % 128 == 0
+            and jax.default_backend() in ("tpu", "axon")):
+        from mv3d_tf_tpu.ops.conv_s8_pallas import conv3x3_s8_pallas_v2
+        x = conv3x3_s8_pallas_v2(feat_q, w_q, kk, bb,
+                                 tile_rows=_s8_tile_rows(feat_q.shape[1]),
+                                 out_dtype=jnp.float32)
+    else:
+        y32 = _conv_s8(feat_q, w_q)
+        x = jnp.maximum(y32.astype(jnp.float32) * kk + bb, 0.0)
+    x = x.astype(jnp.bfloat16)
+    cls = vgg.conv2d(x, params["rpn_cls_score"]["weights"],
+                     params["rpn_cls_score"]["biases"],
+                     padding="VALID", relu=False, dtype=jnp.bfloat16)
+    bbox = vgg.conv2d(x, params["rpn_bbox_pred"]["weights"],
+                      params["rpn_bbox_pred"]["biases"],
+                      padding="VALID", relu=False, dtype=jnp.bfloat16)
+    return cls, bbox
+
+
 def _bf16_stem(params, x, suffix=""):
     """conv1_1 + conv1_2 + pool in bf16 XLA (the conv1 pair quantizes
     badly: 9/3 input channels pad to the int8 MXU tile and lose the

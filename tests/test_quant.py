@@ -192,3 +192,39 @@ def test_detector_s2d_int8_stem_runs(small_params, rng):
                                   **kwargs)(params, bev, image, calib)
     assert np.isfinite(np.asarray(det_q["scores"])).all()
     assert np.asarray(det_q["valid"]).sum() > 0
+
+
+def test_rpn_head_int8_tracks_float(small_params, rng):
+    """int8 RPN 3x3 conv + bf16 1x1 heads tracks the bf16 rpn_head."""
+    from mv3d_tf_tpu.models import mv3d
+    params = small_params
+    feat = rng.rand(1, 10, 12, 512).astype(np.float32) * 2
+    s = float(np.abs(feat).max() / 127.0)
+    feat_q = np.clip(np.round(feat / s), 0, 127).astype(np.int8)
+    cls_q, box_q = Q.rpn_head_int8(params, jnp.asarray(feat_q),
+                                   jnp.float32(s))
+    cls_f, box_f = mv3d.rpn_head(params, jnp.asarray(feat),
+                                 dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(cls_q, np.float32),
+                               np.asarray(cls_f, np.float32),
+                               rtol=0.2, atol=0.15)
+    assert np.isfinite(np.asarray(box_q)).all()
+
+
+def test_detector_quant_rpn_runs(small_params, rng):
+    """End-to-end batch detector with quant_rpn=True (no dequantized
+    trunk map materialized)."""
+    from mv3d_tf_tpu.eval import PIXEL_MEANS, build_detect_batch_fn
+    params = small_params
+    B = 2
+    bev = rng.rand(B, 81, 81, 9).astype(np.float32)
+    image = (rng.rand(B, 88, 120, 3) * 255).astype(np.float32)
+    import __graft_entry__ as graft
+    calib = np.tile(graft._example_calib()[None], (B, 1, 1))
+    qs = Q.build_quant_state(params, bev, image - PIXEL_MEANS)
+    kwargs = dict(feat_h=10, feat_w=10, pre_nms_top_n=50,
+                  post_nms_top_n=12)
+    det_q = build_detect_batch_fn(quant=qs, quant_rpn=True,
+                                  **kwargs)(params, bev, image, calib)
+    assert np.isfinite(np.asarray(det_q["scores"])).all()
+    assert np.asarray(det_q["valid"]).sum() > 0

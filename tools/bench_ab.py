@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--int8-head", action="store_true",
                     help="also quantize the fusion head (fc6/fc7)")
+    ap.add_argument("--int8-rpn", action="store_true",
+                    help="also quantize the RPN 3x3 conv")
     ap.add_argument("--conv-impl", default="xla", choices=["xla", "pallas"],
                     help="int8 trunk conv implementation")
     ap.add_argument("--train", action="store_true",
@@ -84,7 +86,8 @@ def main():
     detect = E.build_detect_batch_fn(compute_dtype=jnp.bfloat16,
                                      quant=quant,
                                      quant_conv_impl=args.conv_impl,
-                                     stem_impl=stem_impl)
+                                     stem_impl=stem_impl,
+                                     quant_rpn=args.int8_rpn)
 
     def barrier(x):
         return float(np.asarray(jax.device_get(x.ravel()[0])))

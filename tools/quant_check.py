@@ -34,6 +34,8 @@ def main():
                     choices=["xla", "pallas"])
     ap.add_argument("--int8-head", action="store_true",
                     help="also quantize + gate the fc6/fc7 head")
+    ap.add_argument("--int8-rpn", action="store_true",
+                    help="also quantize + gate the RPN 3x3 conv")
     args = ap.parse_args()
 
     import jax
@@ -83,7 +85,8 @@ def main():
     det_f16 = build_detect_batch_fn(compute_dtype=jnp.bfloat16)
     det_int8 = build_detect_batch_fn(compute_dtype=jnp.bfloat16, quant=qs,
                                      quant_conv_impl=args.conv_impl,
-                                     stem_impl=args.stem)
+                                     stem_impl=args.stem,
+                                     quant_rpn=args.int8_rpn)
 
     vb_d, vi_d, vc_d = (jax.device_put(vb), jax.device_put(vi),
                         jax.device_put(vc))
