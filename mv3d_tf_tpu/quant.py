@@ -527,3 +527,41 @@ def extract_features_int8(params, quant, bev, image, fused_stem=False,
                                                  stem_img,
                                                  conv_impl=conv_impl)
     return feat_bv, s_bv, feat_img, s_img
+
+
+# ---------------------------------------------------------------------------
+# Quant-state persistence: calibrate once, serve many (the state is a
+# plain pytree of int8 weights + f32 scales; .npz round-trip keeps the
+# serving path free of orbax/framework dependencies)
+# ---------------------------------------------------------------------------
+
+def save_quant_state(path, state):
+    """Serialize a build_quant_state pytree to one .npz file."""
+    flat = {}
+
+    def rec(prefix, node):
+        if node is None:
+            flat[prefix + "//none"] = np.zeros(0, np.int8)
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                rec(prefix + "/" + k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+    rec("q", state)
+    np.savez_compressed(path, **flat)
+
+
+def load_quant_state(path):
+    """Inverse of save_quant_state; returns the pytree with jnp leaves."""
+    blob = np.load(path)
+    state = {}
+    for key in blob.files:
+        is_none = key.endswith("//none")
+        parts = [p for p in key[2:].split("/") if p]  # strip "q/"
+        if is_none:
+            parts = parts[:-1]                        # drop "none"
+        node = state
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = None if is_none else jnp.asarray(blob[key])
+    return state

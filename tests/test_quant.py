@@ -228,3 +228,36 @@ def test_detector_quant_rpn_runs(small_params, rng):
                                   **kwargs)(params, bev, image, calib)
     assert np.isfinite(np.asarray(det_q["scores"])).all()
     assert np.asarray(det_q["valid"]).sum() > 0
+
+
+def test_quant_state_roundtrip(small_params, rng):
+    """save_quant_state/load_quant_state: real PTQ state survives a
+    .npz round-trip (dtypes, scalars, None head) and the loaded state
+    drives the detector identically."""
+    import os
+    import tempfile
+    from mv3d_tf_tpu.eval import PIXEL_MEANS, build_detect_batch_fn
+    params = small_params
+    B = 2
+    bev = rng.rand(B, 81, 81, 9).astype(np.float32)
+    image = (rng.rand(B, 88, 120, 3) * 255).astype(np.float32)
+    import __graft_entry__ as graft
+    calib = np.tile(graft._example_calib()[None], (B, 1, 1))
+    qs = Q.build_quant_state(params, bev, image - PIXEL_MEANS)
+    path = tempfile.mktemp(suffix=".npz")
+    try:
+        Q.save_quant_state(path, qs)
+        got = Q.load_quant_state(path)
+        assert got["head"] is None
+        assert got["trunk_bv"]["conv5_3"]["w_q"].dtype == jnp.int8
+        kwargs = dict(feat_h=10, feat_w=10, pre_nms_top_n=50,
+                      post_nms_top_n=10)
+        d1 = build_detect_batch_fn(quant=qs, **kwargs)(
+            params, bev, image, calib)
+        d2 = build_detect_batch_fn(quant=got, **kwargs)(
+            params, bev, image, calib)
+        np.testing.assert_array_equal(np.asarray(d1["scores"]),
+                                      np.asarray(d2["scores"]))
+    finally:
+        if os.path.exists(path):
+            os.remove(path)
