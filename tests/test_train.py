@@ -111,3 +111,28 @@ def test_train_step_end_to_end(rng):
     # second step decreases nothing catastrophically (finite)
     p2, o2, m3 = step(p1, o1, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(m3["loss"]))
+
+
+def test_train_step_s2d_stem(rng):
+    """stem_impl='s2d' train step: finite loss, params move, and the
+    loss matches the literal-stem step closely (the stems are
+    gradient-equivalent up to f32 summation order)."""
+    params = mv3d.init_params(jax.random.PRNGKey(0))
+    kwargs = dict(feat_h=10, feat_w=10, pre_nms_top_n=100,
+                  post_nms_top_n=30, rois_per_image=16)
+    batch = _batch(rng)
+
+    def run(stem_impl):
+        step, tx = build_train_step(stem_impl=stem_impl, **kwargs)
+        p = jax.tree.map(jnp.array, params)
+        p1, o1, m = step(p, tx.init(p), batch, jax.random.PRNGKey(1))
+        return p1, m
+
+    p_lit, m_lit = run(None)
+    p_s2d, m_s2d = run("s2d")
+    assert np.isfinite(float(m_s2d["loss"]))
+    np.testing.assert_allclose(float(m_s2d["loss"]),
+                               float(m_lit["loss"]), rtol=1e-3)
+    d = np.abs(np.asarray(p_s2d["conv1_1"]["weights"])
+               - np.asarray(params["conv1_1"]["weights"])).max()
+    assert d > 0  # the stem's own weights receive gradient
