@@ -100,7 +100,7 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
                           post_nms_top_n=300, rpn_nms_thresh=0.7,
                           compute_dtype=None, quant=None,
                           quant_conv_impl="xla", stem_impl=None,
-                          quant_rpn=False):
+                          quant_rpn=False, rois_per_step=12):
     """Natively batched multi-frame detector (throughput path).
 
     Trunks/RPN/fusion-head run as ONE batched computation (bigger MXU
@@ -177,7 +177,8 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
 
         # rois_per_step must divide the per-frame roi count P (blocks may
         # not straddle frames); 12 divides the 300-roi test budget
-        rt = 12 if P % 12 == 0 else 1
+        rt = rois_per_step if P % rois_per_step == 0 else (
+            12 if P % 12 == 0 else 1)
         pool_src_bv, pool_src_img = (c5, c5_2) if feat_q is None else (
             feat_q[0], feat_q[1])
         pooled_bv = roi_pool_fast(pool_src_bv, flat_bv,

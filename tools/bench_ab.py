@@ -33,6 +33,9 @@ def main():
                     help="int8 trunk conv implementation")
     ap.add_argument("--train", action="store_true",
                     help="time the train step instead of the detector")
+    ap.add_argument("--rois-per-step", type=int, default=12,
+                    help="Pallas ROI-pool roi block size (divisor of "
+                         "post_nms_top_n=300)")
     args = ap.parse_args()
 
     import jax
@@ -87,7 +90,8 @@ def main():
                                      quant=quant,
                                      quant_conv_impl=args.conv_impl,
                                      stem_impl=stem_impl,
-                                     quant_rpn=args.int8_rpn)
+                                     quant_rpn=args.int8_rpn,
+                                     rois_per_step=args.rois_per_step)
 
     def barrier(x):
         return float(np.asarray(jax.device_get(x.ravel()[0])))
