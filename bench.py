@@ -20,6 +20,7 @@ def log(*a):
 
 
 def main():
+    main_t0 = time.perf_counter()
     import jax
     from mv3d_tf_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
@@ -193,12 +194,21 @@ def main():
          ["--stem", "s2d"]),
     ]
     for name, flags in probes:
+        # global budget: never let cold-cache probe compiles push the
+        # whole bench past the driver's patience — the headline JSON
+        # line must always get printed
+        elapsed = time.perf_counter() - main_t0
+        if elapsed > 1200:
+            log("probe [{}] skipped (bench already {:.0f}s)".format(
+                name, elapsed))
+            continue
         try:
             t0 = time.perf_counter()
             proc = subprocess.run(
                 [sys.executable, here + "/tools/bench_ab.py",
                  "--batch", str(B)] + flags,
-                capture_output=True, text=True, timeout=1500)
+                capture_output=True, text=True,
+                timeout=max(300, 1500 - elapsed))
             m = re.search(r"->\s*([0-9.]+)\s*frames/s", proc.stderr)
             if proc.returncode == 0 and m:
                 fps_p = float(m.group(1))
