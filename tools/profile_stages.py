@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--trace", default=None,
                     help="write a jax.profiler trace of the full graph here")
+    ap.add_argument("--int8", action="store_true",
+                    help="also profile the int8/s2d stages (stems, s8 "
+                         "trunk chains xla vs pallas, s8 pool)")
     args = ap.parse_args()
 
     import jax
@@ -146,6 +149,64 @@ def main():
                       params, p1, p2, rois["rois_3d"])
     log("  {:28s} {:8.2f} ms/batch (sum)".format(
         "stage sum", t_tr + t_rpn + t_prop + t_pool + t_head))
+
+    if args.int8:
+        from mv3d_tf_tpu import quant as Q
+        from mv3d_tf_tpu.ops.stem_s2d import stem_s2d
+        img_ms = np.asarray(image) - PIXEL_MEANS
+        qs = jax.device_put(Q.build_quant_state(
+            params, np.asarray(bev), img_ms))
+
+        @jax.jit
+        def s_stem_bf16(params, bev, image):
+            img = image.astype(jnp.float32) - PIXEL_MEANS
+            return (Q._bf16_stem(params, bev, suffix=""),
+                    Q._bf16_stem(params, img, suffix="_2"))
+
+        @jax.jit
+        def s_stem_s2d(params, bev, image):
+            img = image.astype(jnp.float32) - PIXEL_MEANS
+            p1, p2 = params["conv1_1"], params["conv1_2"]
+            a = stem_s2d(bev, p1["weights"], p1["biases"],
+                         p2["weights"], p2["biases"], dtype=dt)
+            p1, p2 = params["conv1_1_2"], params["conv1_2_2"]
+            b = stem_s2d(img, p1["weights"], p1["biases"],
+                         p2["weights"], p2["biases"], dtype=dt)
+            return a, b
+
+        def mk_trunks_q(conv_impl):
+            @jax.jit
+            def f(qs, sb, si):
+                a, _ = Q.trunk_apply_int8_from_stem(
+                    qs["trunk_bv"], sb, conv_impl=conv_impl)
+                b, _ = Q.trunk_apply_int8_from_stem(
+                    qs["trunk_img"], si, conv_impl=conv_impl)
+                return a, b
+            return f
+
+        def mk_extract(stem, conv_impl):
+            @jax.jit
+            def f(params, qs, bev, image):
+                img = image.astype(jnp.float32) - PIXEL_MEANS
+                return Q.extract_features_int8(params, qs, bev, img,
+                                               stem=stem,
+                                               conv_impl=conv_impl)
+            return f
+
+        log("== int8 / s2d stages ==")
+        (sb, si), _ = bench("stem bf16 (both views)", s_stem_bf16,
+                            params, bev, image)
+        bench("stem s2d bf16 (both views)", s_stem_s2d, params, bev,
+              image)
+        bench("int8 trunks from stem (xla)", mk_trunks_q("xla"),
+              qs, sb, si)
+        bench("int8 trunks from stem (pallas)", mk_trunks_q("pallas"),
+              qs, sb, si)
+        (fbv, _, fim, _), _ = bench(
+            "int8 extract (s2d_int8+pallas)",
+            mk_extract("s2d_int8", "pallas"), params, qs, bev, image)
+        bench("roi pool x2 on s8 features", s_roipool,
+              fbv, fim, rois["rois_bv"], rois["rois_img"])
 
     detect_b = build_detect_batch_fn(compute_dtype=dt)
     full = lambda b, i, c: detect_b(params, b, i, c)
