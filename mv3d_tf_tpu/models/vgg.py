@@ -87,6 +87,10 @@ def trunk_apply(params, x, suffix="", dtype=None, fused_stem=False,
     """
     if fused_stem and stem_impl is None:
         stem_impl = "pallas"
+    if stem_impl not in (None, "literal", "pallas", "s2d"):
+        raise ValueError(
+            "unknown stem_impl {!r} for the float trunk (the s2d_int8 "
+            "stem lives in quant.extract_features_int8)".format(stem_impl))
     layers = VGG_LAYERS
     if stem_impl == "pallas":
         from mv3d_tf_tpu.ops.vgg_stem_pallas import (stem_tile_rows,
