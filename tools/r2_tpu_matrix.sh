@@ -26,6 +26,10 @@ run ab_full       python tools/bench_ab.py --int8 --int8-head --int8-rpn \
                       --conv-impl pallas --stem s2d_int8
 run ab_full_xlas  python tools/bench_ab.py --int8 --int8-head --int8-rpn \
                       --conv-impl xla --stem s2d
+run ab_full_b1    python tools/bench_ab.py --batch 1 --int8 --int8-head \
+                      --int8-rpn --conv-impl pallas --stem s2d_int8
+run ab_pool60     python tools/bench_ab.py --int8 --int8-head --int8-rpn \
+                      --conv-impl pallas --stem s2d_int8 --rois-per-step 60
 # 4. train-step A/B (literal vs s2d stem; batched variant)
 run tr_lit        python tools/bench_ab.py --train --batch 1
 run tr_s2d        python tools/bench_ab.py --train --batch 1 --stem s2d
