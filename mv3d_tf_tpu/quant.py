@@ -25,8 +25,6 @@ Accuracy gate (tools/quant_check.py + tests/test_quant.py): detections
 on synthetic frames must match the bf16 path within AP noise.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
