@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--seed", type=int, default=3)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--eval-thresh", type=float, default=0.05)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest snapshot in --out "
+                         "(keeps the previously recorded trajectory)")
     args = ap.parse_args()
 
     import jax
@@ -129,13 +132,29 @@ def main():
 
     traj = {"config": vars(args), "evals": [], "losses": []}
 
-    # baseline: pretrain-initialized, untrained
-    import jax.random as jrandom
-    from mv3d_tf_tpu.models import mv3d as mv3d_model
-    from mv3d_tf_tpu.utils.weights import load_npy_weights
-    params0 = load_npy_weights(mv3d_model.init_params(
-        jrandom.PRNGKey(cfg.RNG_SEED)), pretrain, log=None)
-    traj["evals"].append(run_eval(params0, "iter0"))
+    resume_from = 0
+    if args.resume:
+        from mv3d_tf_tpu.utils.checkpoint import latest_snapshot
+        snap = latest_snapshot(out_dir)
+        if snap is not None:
+            resume_from = int(snap.rsplit("_iter_", 1)[1])
+            tj_path = os.path.join(out_dir, "accuracy_trajectory.json")
+            if os.path.exists(tj_path):
+                with open(tj_path) as f:
+                    old = json.load(f)
+                traj["evals"] = old.get("evals", [])
+                traj["losses"] = old.get("losses", [])
+            print("resuming from snapshot iter {} ({} prior evals)"
+                  .format(resume_from, len(traj["evals"])), flush=True)
+
+    if resume_from == 0:
+        # baseline: pretrain-initialized, untrained
+        import jax.random as jrandom
+        from mv3d_tf_tpu.models import mv3d as mv3d_model
+        from mv3d_tf_tpu.utils.weights import load_npy_weights
+        params0 = load_npy_weights(mv3d_model.init_params(
+            jrandom.PRNGKey(cfg.RNG_SEED)), pretrain, log=None)
+        traj["evals"].append(run_eval(params0, "iter0"))
 
     losses = []
 
@@ -144,7 +163,7 @@ def main():
         if msg.startswith("iter:"):
             losses.append(msg)
 
-    done = 0
+    done = resume_from
     while done < args.iters:
         upto = min(done + args.eval_every, args.iters)
         params = solver.train_net(
