@@ -16,7 +16,6 @@ import os.path as osp
 
 import numpy as np
 
-from mv3d_tf_tpu import geometry as G
 from mv3d_tf_tpu import geometry_np as Gnp
 from mv3d_tf_tpu.utils.native import point_cloud_2_top_host
 
@@ -48,9 +47,9 @@ def _sample_box_points(rng, lidar_cnr, n=600):
     lo, hi = c.min(1), c.max(1)
     pts = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
     # push points to a random face to look like a surface scan
-    for i in range(n):
-        ax = rng.randint(3)
-        pts[i, ax] = lo[ax] if rng.rand() < 0.5 else hi[ax]
+    ax = rng.randint(3, size=n)
+    face = np.where(rng.rand(n) < 0.5, lo[ax], hi[ax]).astype(np.float32)
+    pts[np.arange(n), ax] = face
     refl = rng.uniform(0.2, 0.9, (n, 1)).astype(np.float32)
     return np.hstack([pts, refl])
 
@@ -92,7 +91,7 @@ def generate(root, num_frames=4, cars_per_frame=3, seed=0,
             cam_box = np.array([tx, ty, tz, l, w, h], np.float32)
             cam_cnr, lidar_cnr, _ = _cam_to_lidar_box(cam_box, ry)
             pts.append(_sample_box_points(rng, lidar_cnr))
-            img = np.asarray(G.project_to_image(cam_cnr, P2))
+            img = Gnp.project_to_image_np(cam_cnr, P2)
             x1, y1 = img.min(1)
             x2, y2 = img.max(1)
             lines.append(
@@ -133,4 +132,6 @@ def generate(root, num_frames=4, cars_per_frame=3, seed=0,
 
 def _write_png(path, arr):
     from PIL import Image
-    Image.fromarray(arr).save(path)
+    # compress_level=1: the image content is throwaway noise, which is the
+    # worst case for deflate — default level 6 costs ~0.3 s/frame encoding.
+    Image.fromarray(arr).save(path, compress_level=1)

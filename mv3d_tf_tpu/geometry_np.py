@@ -96,3 +96,13 @@ def bv_anchor_to_lidar_np(anchors):
     ex_ctr_z = np.full_like(ex_lengths, -(LIDAR_HEIGHT - CAR_HEIGHT / 2.0))
     return np.stack([x, y, ex_ctr_z, ex_lengths, ex_widths, ex_heights],
                     axis=1)
+
+
+def project_to_image_np(pts_3d, P):
+    """geometry.project_to_image (transform.py:317-340): 3xN camera-frame
+    points -> 2xN image px via 3x4 P with homogeneous 1."""
+    pts_3d = np.asarray(pts_3d, np.float32)
+    mat = np.concatenate(
+        [pts_3d, np.ones((1, pts_3d.shape[1]), np.float32)])
+    p2 = np.asarray(P, np.float32).reshape(3, 4) @ mat
+    return p2[:2] / p2[2:3]

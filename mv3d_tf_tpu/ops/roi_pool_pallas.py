@@ -107,6 +107,13 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
     # identity for the [0,127] post-requant-relu range
     neg = (int(jnp.iinfo(dtype).min)
            if jnp.issubdtype(dtype, jnp.integer) else -jnp.inf)
+    # Mosaic cannot lower int8 max ops on this stack — neither reductions
+    # ("Reductions over int8 not implemented") nor elementwise maximum
+    # ("failed to legalize arith.maxsi", real-chip r2) — so for integer
+    # features the whole max accumulator runs in int32: rows are widened
+    # on read from the (still int8, half-DMA-bytes) VMEM feature block,
+    # and the pooled result is narrowed on write.
+    red_dt = jnp.int32 if jnp.issubdtype(dtype, jnp.integer) else dtype
 
     # column-bin window: mb_w columns starting at an 8-ALIGNED offset
     # (Mosaic allows dynamic sublane slices at multiples of 8), so the
@@ -136,8 +143,9 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
                 # masking a fixed unroll wastes ~6x the work.
                 acc = jax.lax.fori_loop(
                     h0, h1,
-                    lambda h, a: jnp.maximum(a, feat_ref[0, h]),
-                    jnp.full((W_pad, CT), neg, dtype))
+                    lambda h, a: jnp.maximum(
+                        a, feat_ref[0, h].astype(red_dt)),
+                    jnp.full((W_pad, CT), neg, red_dt))
                 acc_ref[:] = acc
                 for pw in range(pooled):
                     w0 = ws_ref[pw, r]
@@ -148,8 +156,8 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
                     mask = (off >= w0) & (off < w1)
                     m = jnp.max(
                         jnp.where(mask, win,
-                                  jnp.full((WIN, CT), neg, dtype)),
-                        axis=0)
+                                  jnp.full((WIN, CT), neg, red_dt)),
+                        axis=0).astype(dtype)
                     empty = (h1 <= h0) | (w1 <= w0)
                     out_ref[rr, ph, pw, :] = jnp.where(
                         empty, jnp.zeros((CT,), dtype), m)
@@ -172,7 +180,7 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
         out_specs=pl.BlockSpec((RT, pooled, pooled, CT),
                                lambda c, r, *_: (r, 0, 0, c),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((W_pad, CT), dtype)],
+        scratch_shapes=[pltpu.VMEM((W_pad, CT), red_dt)],
     )
 
     out = pl.pallas_call(

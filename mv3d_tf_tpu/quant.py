@@ -41,6 +41,28 @@ def _conv_s8(x_q, w_q, stride=1, padding="SAME"):
         dimension_numbers=_DIMS, preferred_element_type=jnp.int32)
 
 
+def _conv_s8_dots(x_q, w_q):
+    """3x3 SAME stride-1 s8 conv as 9 shifted s8 matmuls (s32 accumulate).
+
+    Rationale (microbench_int8, TPU v5e): XLA's s8 dot_general sustains
+    ~198 TOP/s while its s8 conv lowering reaches only 85-114 TOP/s —
+    reformulating the conv as sum_{dy,dx} shift(x)[HW,Cin] @ w[dy,dx]
+    rides the fast dot path. Bit-identical to _conv_s8 (integer math).
+    """
+    B, H, W, C = x_q.shape
+    kh, kw, _, K = w_q.shape
+    assert (kh, kw) == (3, 3)
+    xp = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((B * H * W, K), jnp.int32)
+    for dy in range(3):
+        for dx in range(3):
+            xs = xp[:, dy:dy + H, dx:dx + W, :].reshape(B * H * W, C)
+            acc = acc + jax.lax.dot_general(
+                xs, w_q[dy, dx], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+    return acc.reshape(B, H, W, K)
+
+
 def quantize_weights(w):
     """(3,3,cin,cout) f32 -> (int8 weights, (cout,) f32 scales)."""
     w = np.asarray(w, np.float32)
@@ -101,7 +123,7 @@ def quantize_trunk(params, act_scales, suffix=""):
     return q
 
 
-def _conv_requant(x, p):
+def _conv_requant(x, p, impl="xla"):
     """One int8 conv + FOLDED requant epilogue.
 
     Mathematically identical to dequant -> +bias -> ReLU -> /s_out ->
@@ -110,7 +132,8 @@ def _conv_requant(x, p):
     0-clamp — fewer VPU passes over the full-res intermediate, which is
     where the epilogue cost lives at conv1/conv2 resolution.
     """
-    y32 = _conv_s8(x, p["w_q"])
+    y32 = _conv_s8(x, p["w_q"]) if impl == "xla" else _conv_s8_dots(
+        x, p["w_q"])
     k = (p["s_in"] * p["s_w"] / p["s_out"]).astype(jnp.float32)
     b = (p["bias"] / p["s_out"]).astype(jnp.float32)
     y = y32.astype(jnp.float32) * k + b
@@ -159,7 +182,9 @@ def trunk_apply_int8_from_stem(qtrunk, stem_out_bf16, conv_impl="xla"):
         if conv_impl == "pallas" and cin % 128 == 0 and cout % 128 == 0:
             from mv3d_tf_tpu.ops.conv_s8_pallas import conv_requant_pallas
             x = conv_requant_pallas(x, p, tile_rows=_s8_tile_rows(
-                x.shape[1]))
+                x.shape[1], W=x.shape[2], C=cin, K=cout))
+        elif conv_impl == "dots":
+            x = _conv_requant(x, p, impl="dots")
         else:
             x = _conv_requant(x, p)
         if pool:
@@ -167,13 +192,24 @@ def trunk_apply_int8_from_stem(qtrunk, stem_out_bf16, conv_impl="xla"):
     return x, qtrunk[vgg.VGG_LAYERS[-1][0]]["s_out"]
 
 
-def _s8_tile_rows(H):
+def _s8_tile_rows(H, W=None, C=256, K=256):
     """Rows per Pallas conv grid step: a divisor keeps the row grid
-    exact (no wasted tail compute); prefer ~8."""
-    for tr in (8, 10, 6, 12, 5, 4, 9, 7, 3):
-        if H % tr == 0:
+    exact (no wasted tail compute); prefer ~8.
+
+    With W given, also bound the kernel's scoped-VMEM stack: the s32
+    accumulator + f32 requant intermediate cost ~2*TH*W*K*4 bytes and
+    the shifted-input scratch (TH+2)*W*3C — at the image view's 624-px
+    rows TH=8 exceeds the 16 MB scoped limit (measured: 18.57M), so
+    cap TH to fit a 12 MB budget before picking the divisor."""
+    cap = None
+    if W is not None:
+        wt = -(-W // 8) * 8
+        per_row = 2 * wt * K * 4 + wt * 3 * C + 4 * wt * C
+        cap = max(2, int((12 * 1024 * 1024 - 2 * wt * 3 * C) // per_row))
+    for tr in (8, 10, 6, 12, 5, 4, 9, 7, 3, 2):
+        if H % tr == 0 and (cap is None or tr <= cap):
             return tr
-    return 8
+    return min(8, cap) if cap is not None else 8
 
 
 # ---------------------------------------------------------------------------
@@ -342,7 +378,9 @@ def trunk_apply_int8_from_stem_q(qtrunk, stem_q, conv_impl="xla"):
         if conv_impl == "pallas" and cin % 128 == 0 and cout % 128 == 0:
             from mv3d_tf_tpu.ops.conv_s8_pallas import conv_requant_pallas
             x = conv_requant_pallas(x, p, tile_rows=_s8_tile_rows(
-                x.shape[1]))
+                x.shape[1], W=x.shape[2], C=cin, K=cout))
+        elif conv_impl == "dots":
+            x = _conv_requant(x, p, impl="dots")
         else:
             x = _conv_requant(x, p)
         if pool:
@@ -393,8 +431,10 @@ def _s2d_stem_int8(params, qtrunk, x, suffix="", conv_impl="pallas"):
     kk = (s1 * s_w / s2).astype(jnp.float32)
     bb = (jnp.tile(p2["biases"], 4) / s2).astype(jnp.float32)
     if conv_impl == "pallas" and jax.default_backend() in ("tpu", "axon"):
+        C2p, K2p = K2.shape[2], K2.shape[3]
         z_q = conv2x2_s8_pallas(y_q, K2q, kk, bb,
-                                tile_rows=_s8_tile_rows(Ho))
+                                tile_rows=_s8_tile_rows(Ho, W=Wo,
+                                                        C=C2p, K=K2p))
     else:
         y32 = jax.lax.conv_general_dilated(
             y_q, K2q, (1, 1), "VALID",
@@ -426,10 +466,13 @@ def rpn_head_int8(params, feat_q, s_in, conv_impl="xla"):
             and jax.default_backend() in ("tpu", "axon")):
         from mv3d_tf_tpu.ops.conv_s8_pallas import conv3x3_s8_pallas_v2
         x = conv3x3_s8_pallas_v2(feat_q, w_q, kk, bb,
-                                 tile_rows=_s8_tile_rows(feat_q.shape[1]),
+                                 tile_rows=_s8_tile_rows(
+                                     feat_q.shape[1], W=feat_q.shape[2],
+                                     C=cin, K=cout),
                                  out_dtype=jnp.float32)
     else:
-        y32 = _conv_s8(feat_q, w_q)
+        y32 = (_conv_s8_dots(feat_q, w_q) if conv_impl == "dots"
+               else _conv_s8(feat_q, w_q))
         x = jnp.maximum(y32.astype(jnp.float32) * kk + bb, 0.0)
     x = x.astype(jnp.bfloat16)
     cls = vgg.conv2d(x, params["rpn_cls_score"]["weights"],

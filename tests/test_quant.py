@@ -261,3 +261,26 @@ def test_quant_state_roundtrip(small_params, rng):
     finally:
         if os.path.exists(path):
             os.remove(path)
+
+
+def test_conv_s8_dots_bit_exact(rng):
+    """_conv_s8_dots (9 shifted s8 matmuls) is bit-identical to the XLA
+    s8 conv — integer arithmetic, no rounding anywhere."""
+    x = jnp.asarray(rng.randint(-128, 128, (2, 13, 17, 64)).astype(np.int8))
+    w = jnp.asarray(rng.randint(-127, 128, (3, 3, 64, 128)).astype(np.int8))
+    np.testing.assert_array_equal(np.asarray(Q._conv_s8_dots(x, w)),
+                                  np.asarray(Q._conv_s8(x, w)))
+
+
+def test_trunk_conv_impl_dots_matches_xla(small_params, rng):
+    """conv_impl="dots" through the whole int8 trunk equals the XLA
+    path bit-for-bit (same requant epilogue on identical s32 sums)."""
+    params = small_params
+    x = rng.rand(1, 40, 40, 9).astype(np.float32)
+    qtrunk = Q.calibrate_trunk(params, jnp.asarray(x))
+    qt = Q.quantize_trunk(params, qtrunk)
+    stem = Q._bf16_stem(params, jnp.asarray(x))
+    f_xla, s_xla = Q.trunk_apply_int8_from_stem(qt, stem, conv_impl="xla")
+    f_dot, s_dot = Q.trunk_apply_int8_from_stem(qt, stem, conv_impl="dots")
+    assert float(s_xla) == float(s_dot)
+    np.testing.assert_array_equal(np.asarray(f_xla), np.asarray(f_dot))

@@ -185,14 +185,23 @@ def main():
                 preferred_element_type=jnp.int32)
             return jnp.sum(y.astype(jnp.float32))
 
+        @jax.jit
+        def conv_dots_s8(x, w):
+            # 9 shifted accumulated dots (quant._conv_s8_dots): no 9xCin
+            # concat materialization, rides the fast s8 dot path
+            from mv3d_tf_tpu.quant import _conv_s8_dots
+            return jnp.sum(_conv_s8_dots(x, w).astype(jnp.float32))
+
         fl = 2 * B * H * W * 9 * Cin * Cout
         tb = timeit(conv_bf16, xb, wb)
         ts = timeit(conv_s8, x8, w8)
         ti = timeit(conv_im2col_s8, x8, w8)
+        td = timeit(conv_dots_s8, x8, w8)
         log("{:10s} bf16 {:6.2f} ms {:6.1f} TF/s | s8conv {:6.2f} ms "
-            "{:6.1f} TOP/s | im2col+s8dot {:6.2f} ms {:6.1f} TOP/s".format(
+            "{:6.1f} TOP/s | im2col+s8dot {:6.2f} ms {:6.1f} TOP/s | "
+            "9dots {:6.2f} ms {:6.1f} TOP/s".format(
                 name, tb * 1e3, fl / tb / 1e12, ts * 1e3, fl / ts / 1e12,
-                ti * 1e3, fl / ti / 1e12))
+                ti * 1e3, fl / ti / 1e12, td * 1e3, fl / td / 1e12))
 
 
 if __name__ == "__main__":

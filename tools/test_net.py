@@ -47,7 +47,7 @@ def parse_args():
     parser.add_argument("--int8_stem", dest="int8_stem", default=None,
                         choices=[None, "bf16", "s2d", "s2d_int8"])
     parser.add_argument("--int8_conv_impl", dest="int8_conv_impl",
-                        default="xla", choices=["xla", "pallas"])
+                        default="xla", choices=["xla", "pallas", "dots"])
     parser.add_argument("--int8_head", dest="int8_head",
                         action="store_true")
     parser.add_argument("--set", dest="set_cfgs", default=None,

@@ -271,6 +271,20 @@ def main():
     check("s2d stem vs literal (bf16-close)", rel <= 2 ** -6,
           "(rel {:.2e})".format(rel))
 
+    # --- 9. ROI pool on int8 feature maps (r2) --------------------------------
+    # The quantized detector pools s8 features directly; Mosaic has no
+    # int8 reduction lowering, so the kernel reduces in int32 — this
+    # check guards both the lowering (compiles at all) and the math.
+    from mv3d_tf_tpu.ops.roi_pool_pallas import roi_pool_pallas
+    feat8 = rng.randint(0, 128, (1, 75, 75, 512)).astype(np.int8)
+    got8 = np.asarray(roi_pool_pallas(
+        jax.device_put(jnp.asarray(feat8)), jax.device_put(rois),
+        rois_per_step=12)).astype(np.float32)
+    ref8 = roi_pool_np(feat8[0].astype(np.float32), rois)
+    check("roi-pool fwd on int8 features (Mosaic s8-reduce guard)",
+          np.array_equal(got8, ref8),
+          "(max diff {:.2e})".format(np.abs(got8 - ref8).max()))
+
     print(("ALL OK" if not failures else
            "FAILURES: " + ", ".join(failures)), flush=True)
     sys.exit(1 if failures else 0)
