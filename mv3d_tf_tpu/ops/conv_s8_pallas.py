@@ -340,6 +340,34 @@ def conv2x2_s8_pallas(x, w, k, b, tile_rows=8, interpret=False,
     return y[:, :Ho]
 
 
+def s8_conv_vmem_bytes(H, W, C, K, tile_rows, taps=3):
+    """Scoped-VMEM byte model for conv3x3_s8_pallas_v2 (taps=3) /
+    conv2x2_s8_pallas (taps=2) at one grid step.
+
+    Counts every allocation the kernel makes: the xs scratch, the
+    double-buffered streamed input/output blocks, the (constant-index,
+    single-buffered) weight/scale blocks, and the intra-kernel s32
+    accumulator + f32 epilogue intermediate. quant._s8_tile_rows picks
+    tile_rows against a 12 MB budget; tests/test_conv_s8.py asserts this
+    model stays under the 16 MB scoped limit for every shipping shape so
+    a tile-budget regression fails in CI, not on the chip (VERDICT r2
+    weak #8)."""
+    TH = tile_rows
+    Wt = _ceil_to(W if taps == 3 else max(W - 1, 1), 8)
+    Wp = _ceil_to(max(W + 2, Wt + 2), 32) if taps == 3 else _ceil_to(
+        max(W, Wt + 1), 32)
+    halo = 2 if taps == 3 else 1
+    Wo = W if taps == 3 else W - 1
+    xs = (TH + halo) * Wt * taps * C                      # s8 scratch
+    blocks_in = 2 * (TH + halo) * Wp * C                  # s8, dbl-buffered
+    blocks_out = 2 * TH * Wo * K                          # s8, dbl-buffered
+    weights = taps * 3 * C * K if taps == 3 else taps * 2 * C * K
+    scales = 2 * K * 4
+    acc = TH * Wt * K * 4                                 # s32
+    epilogue = TH * Wt * K * 4                            # f32
+    return xs + blocks_in + blocks_out + weights + scales + acc + epilogue
+
+
 # ---------------------------------------------------------------------------
 # s8 matmul ceiling probe (tools/microbench_int8.py --pallas)
 # ---------------------------------------------------------------------------
