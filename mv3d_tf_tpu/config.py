@@ -143,6 +143,12 @@ __C.TPU.COMPUTE_DTYPE = 'float32'
 __C.TPU.MESH_AXES = ('data',)
 # per-chip frame batch for eval/bench
 __C.TPU.EVAL_BATCH = 8
+# HBM budget (GiB) for caching the TRAIN dataset on-device (bf16 BEV +
+# uint8 image); datasets over budget fall back to per-iter host feeding.
+# Per-iter host feeding pays the full host->device transfer (~19 MB/frame
+# f32) on the step's critical path — measured 1.4-2.2 s/iter over the
+# axon tunnel vs 86 ms/iter device-resident (r3 accuracy run).
+__C.TPU.TRAIN_DATA_HBM_GB = 6.0
 
 
 def get_cfg():

@@ -113,6 +113,13 @@ class RoIDataLayer:
         self._cur += 1
         return i
 
+    def next_index(self):
+        """Advance the epoch-permuted cursor WITHOUT loading blobs —
+        the device-resident dataset path (solver._build_device_dataset)
+        only needs the frame index; the permutation sequence is identical
+        to forward()'s."""
+        return self._next_index()
+
     def _load_next(self):
         return get_minibatch(self._roidb[self._next_index()])
 

@@ -182,6 +182,34 @@ def build_train_step(feat_h=75, feat_w=75, pre_nms_top_n=12000,
     return train_step, tx
 
 
+def build_train_step_cached(**kwargs):
+    """build_train_step over a DEVICE-RESIDENT dataset: the step takes
+    (params, opt_state, data, idx, key) where data is a dict of stacked
+    per-frame arrays pinned on the device (bev may be bf16, image uint8 —
+    both are cast back before the graph, bit-identical under a bf16
+    trunk) and idx selects the frame with an on-device dynamic slice.
+
+    Why: feeding per-iteration numpy batches pays the full ~19 MB/frame
+    host->device transfer on the step's critical path — 1.4-2.2 s/iter
+    over the axon device tunnel vs ~86 ms of compute (r3 accuracy run).
+    One up-front transfer of the whole roidb removes the hot-loop
+    transfer entirely (solver.train_net builds the cache when it fits
+    cfg.TPU.TRAIN_DATA_HBM_GB).
+    """
+    tx = kwargs.pop("optimizer", None) or optax.adam(kwargs.pop("lr", 1e-5))
+    inner, _ = build_train_step(optimizer=tx, **kwargs)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, data, idx, key):
+        batch = {k: jax.lax.dynamic_index_in_dim(v, idx, 0, keepdims=False)
+                 for k, v in data.items()}
+        batch["bev"] = batch["bev"].astype(jnp.float32)
+        batch["image"] = batch["image"].astype(jnp.float32)
+        return inner(params, opt_state, batch, key)
+
+    return train_step, tx
+
+
 def filter_roidb(roidb, fg_thresh=0.5, bg_hi=0.5, bg_lo=0.1):
     """Drop entries with no usable fg or bg rois (train_mv.py:347-370)."""
     import numpy as np

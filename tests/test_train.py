@@ -136,3 +136,48 @@ def test_train_step_s2d_stem(rng):
     d = np.abs(np.asarray(p_s2d["conv1_1"]["weights"])
                - np.asarray(params["conv1_1"]["weights"])).max()
     assert d > 0  # the stem's own weights receive gradient
+
+
+def test_train_step_cached_matches_host_feed(rng):
+    """build_train_step_cached(dataset, idx) must equal build_train_step
+    fed the same frame after the storage round-trip (bf16 bev, uint8
+    image) — the device-resident path solver.train_net uses on TPU."""
+    import ml_dtypes
+
+    from mv3d_tf_tpu.train import build_train_step_cached
+
+    params = mv3d.init_params(jax.random.PRNGKey(0))
+    kwargs = dict(feat_h=10, feat_w=10, pre_nms_top_n=100,
+                  post_nms_top_n=30, rois_per_image=16)
+    b0, b1 = _batch(rng), _batch(rng)
+    data = {}
+    for k in b0:
+        if k == "im_info":
+            continue
+        stacked = np.stack([b0[k], b1[k]])
+        if k == "bev":
+            stacked = stacked.astype(ml_dtypes.bfloat16)
+        elif k == "image":
+            stacked = stacked.astype(np.uint8)
+        data[k] = jnp.asarray(stacked)
+
+    step_c, tx_c = build_train_step_cached(**kwargs)
+    step_h, tx_h = build_train_step(**kwargs)
+
+    def fresh(tx):
+        p = jax.tree.map(jnp.array, params)
+        return p, tx.init(p)
+
+    for idx, b in ((0, b0), (1, b1)):
+        # host-feed reference sees the same storage rounding
+        bh = dict(b)
+        bh["bev"] = np.asarray(b["bev"].astype(ml_dtypes.bfloat16),
+                               np.float32)
+        bh["image"] = b["image"].astype(np.uint8).astype(np.float32)
+        bh.pop("im_info", None)
+        p, o = fresh(tx_c)
+        _, _, mc = step_c(p, o, data, np.int32(idx), jax.random.PRNGKey(3))
+        p, o = fresh(tx_h)
+        _, _, mh = step_h(p, o, bh, jax.random.PRNGKey(3))
+        np.testing.assert_allclose(float(mc["loss"]), float(mh["loss"]),
+                                   rtol=1e-6)
