@@ -100,7 +100,8 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
                           post_nms_top_n=300, rpn_nms_thresh=0.7,
                           compute_dtype=None, quant=None,
                           quant_conv_impl="xla", stem_impl=None,
-                          quant_rpn=False, rois_per_step=12):
+                          quant_rpn=False, rois_per_step=12,
+                          quant_pool=True):
     """Natively batched multi-frame detector (throughput path).
 
     Trunks/RPN/fusion-head run as ONE batched computation (bigger MXU
@@ -142,8 +143,18 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
             # ROI pooling reads the s8 maps directly (max commutes with
             # the monotone dequant, and the gather-bound pool moves half
             # the bytes); with quant_rpn the RPN head does too, and no
-            # dequantized trunk map is materialized at all
+            # dequantized trunk map is materialized at all.
+            # quant_pool=False dequantizes the trunk outputs instead and
+            # runs the PROVEN bf16 pool/head tail — the s8 pool measured
+            # no faster anyway (15.53 vs 14.93 ms/batch-8, r3 stage
+            # profile) and s8-pool-in-fused-graph is in the axon
+            # fault class (ab_detect_r3.log crashes).
             feat_q = (fbv, fim, s_bv, s_im)
+            if not quant_pool:
+                c5 = (fbv.astype(jnp.bfloat16) * s_bv).astype(jnp.bfloat16)
+                c5_2 = (fim.astype(jnp.bfloat16)
+                        * s_im).astype(jnp.bfloat16)
+                feat_q = None
             if quant_rpn:
                 rpn_cls, rpn_box = Q.rpn_head_int8(
                     params, fbv, s_bv, conv_impl=quant_conv_impl)

@@ -84,10 +84,12 @@ def trunk_apply(params, x, suffix="", dtype=None, fused_stem=False,
                        legacy alias. Requires dtype=bfloat16 on TPU.
       "s2d"          — space-to-depth packed XLA convs (MXU-full
                        256-lane dots, differentiable; ops/stem_s2d.py).
+      "s2d_fused"    — the s2d stem as ONE Pallas VMEM kernel (single
+                       HBM pass, inference-only; ops/stem_s2d_pallas.py).
     """
     if fused_stem and stem_impl is None:
         stem_impl = "pallas"
-    if stem_impl not in (None, "literal", "pallas", "s2d"):
+    if stem_impl not in (None, "literal", "pallas", "s2d", "s2d_fused"):
         raise ValueError(
             "unknown stem_impl {!r} for the float trunk (the s2d_int8 "
             "stem lives in quant.extract_features_int8)".format(stem_impl))
@@ -107,6 +109,14 @@ def trunk_apply(params, x, suffix="", dtype=None, fused_stem=False,
         p2 = params["conv1_2" + suffix]
         x = stem_s2d(x, p1["weights"], p1["biases"],
                      p2["weights"], p2["biases"], dtype=dtype)
+        layers = VGG_LAYERS[2:]
+    elif stem_impl == "s2d_fused":
+        from mv3d_tf_tpu.ops.stem_s2d_pallas import stem_s2d_fused
+        p1 = params["conv1_1" + suffix]
+        p2 = params["conv1_2" + suffix]
+        x = stem_s2d_fused(x, p1["weights"], p1["biases"],
+                           p2["weights"], p2["biases"],
+                           dtype=dtype or jnp.float32)
         layers = VGG_LAYERS[2:]
     for name, _, pool in layers:
         p = params[name + suffix]

@@ -504,6 +504,9 @@ def extract_features_int8(params, quant, bev, image, fused_stem=False,
       "bf16"   — XLA bf16 stem (default; conv1 can't fill the int8 MXU);
       "s2d"    — space-to-depth packed bf16 stem (MXU-full 256-lane
                  convs, ops/stem_s2d.py);
+      "s2d_fused" — the s2d stem as ONE Pallas VMEM kernel (single HBM
+                 pass, ops/stem_s2d_pallas.py), bf16 output to the int8
+                 chain;
       "s2d_int8" — s2d stem with the packed conv1_2 as the fused s8
                  2x2 Pallas kernel, feeding the trunk int8 directly;
       "int8"   — fully quantized from the input;
@@ -527,16 +530,20 @@ def extract_features_int8(params, quant, bev, image, fused_stem=False,
         feat_img, s_img = trunk_apply_int8_from_stem_q(
             quant["trunk_img"], stem_img_q, conv_impl=conv_impl)
         return feat_bv, s_bv, feat_img, s_img
-    if stem == "s2d":
-        from mv3d_tf_tpu.ops.stem_s2d import stem_s2d
+    if stem in ("s2d", "s2d_fused"):
+        if stem == "s2d_fused":
+            from mv3d_tf_tpu.ops.stem_s2d_pallas import (
+                stem_s2d_fused as stem_fn)
+        else:
+            from mv3d_tf_tpu.ops.stem_s2d import stem_s2d as stem_fn
         p1, p2 = params["conv1_1"], params["conv1_2"]
-        stem_bv = stem_s2d(bev, p1["weights"], p1["biases"],
+        stem_bv = stem_fn(bev, p1["weights"], p1["biases"],
+                          p2["weights"], p2["biases"],
+                          dtype=jnp.bfloat16)
+        p1, p2 = params["conv1_1_2"], params["conv1_2_2"]
+        stem_img = stem_fn(image, p1["weights"], p1["biases"],
                            p2["weights"], p2["biases"],
                            dtype=jnp.bfloat16)
-        p1, p2 = params["conv1_1_2"], params["conv1_2_2"]
-        stem_img = stem_s2d(image, p1["weights"], p1["biases"],
-                            p2["weights"], p2["biases"],
-                            dtype=jnp.bfloat16)
         feat_bv, s_bv = trunk_apply_int8_from_stem(
             quant["trunk_bv"], stem_bv, conv_impl=conv_impl)
         feat_img, s_img = trunk_apply_int8_from_stem(

@@ -23,7 +23,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--stem", default="pallas",
-                    choices=["pallas", "xla", "s2d", "s2d_int8"])
+                    choices=["pallas", "xla", "s2d", "s2d_fused",
+                             "s2d_int8"])
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--int8-head", action="store_true",
                     help="also quantize the fusion head (fc6/fc7)")
@@ -36,6 +37,14 @@ def main():
     ap.add_argument("--rois-per-step", type=int, default=12,
                     help="Pallas ROI-pool roi block size (divisor of "
                          "post_nms_top_n=300)")
+    ap.add_argument("--pre-nms", type=int, default=6000,
+                    help="pre-NMS top-K (reference test cfg: 6000; the "
+                         "recall knee lives much lower — see "
+                         "tools/prenms_knee.py)")
+    ap.add_argument("--no-quant-pool", action="store_true",
+                    help="int8 graphs: dequantize trunk features and run "
+                         "the bf16 pool/head path (measured same pool "
+                         "speed; dodges the s8-pool fused-graph fault)")
     args = ap.parse_args()
 
     import jax
@@ -52,7 +61,7 @@ def main():
     if args.stem == "xla":
         E._fused_stem = lambda dtype: False
         stem_impl = "bf16" if args.int8 else None
-    elif args.stem in ("s2d", "s2d_int8"):
+    elif args.stem in ("s2d", "s2d_fused", "s2d_int8"):
         stem_impl = args.stem
 
     B = args.batch
@@ -91,7 +100,9 @@ def main():
                                      quant_conv_impl=args.conv_impl,
                                      stem_impl=stem_impl,
                                      quant_rpn=args.int8_rpn,
-                                     rois_per_step=args.rois_per_step)
+                                     rois_per_step=args.rois_per_step,
+                                     pre_nms_top_n=args.pre_nms,
+                                     quant_pool=not args.no_quant_pool)
 
     def barrier(x):
         return float(np.asarray(jax.device_get(x.ravel()[0])))

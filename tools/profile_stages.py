@@ -193,11 +193,25 @@ def main():
                                                conv_impl=conv_impl)
             return f
 
+        @jax.jit
+        def s_stem_s2d_fused(params, bev, image):
+            from mv3d_tf_tpu.ops.stem_s2d_pallas import stem_s2d_fused
+            img = image.astype(jnp.float32) - PIXEL_MEANS
+            p1, p2 = params["conv1_1"], params["conv1_2"]
+            a = stem_s2d_fused(bev, p1["weights"], p1["biases"],
+                               p2["weights"], p2["biases"], dtype=dt)
+            p1, p2 = params["conv1_1_2"], params["conv1_2_2"]
+            b = stem_s2d_fused(img, p1["weights"], p1["biases"],
+                               p2["weights"], p2["biases"], dtype=dt)
+            return a, b
+
         log("== int8 / s2d stages ==")
         (sb, si), _ = bench("stem bf16 (both views)", s_stem_bf16,
                             params, bev, image)
         bench("stem s2d bf16 (both views)", s_stem_s2d, params, bev,
               image)
+        bench("stem s2d FUSED (both views)", s_stem_s2d_fused, params,
+              bev, image)
         bench("int8 trunks from stem (xla)", mk_trunks_q("xla"),
               qs, sb, si)
         bench("int8 trunks from stem (pallas)", mk_trunks_q("pallas"),

@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--calib_frames", type=int, default=8)
     ap.add_argument("--model", default=None)
     ap.add_argument("--stem", default=None,
-                    choices=[None, "bf16", "s2d", "s2d_int8"],
+                    choices=[None, "bf16", "s2d", "s2d_fused", "s2d_int8"],
                     help="int8-path stem mode (None = bf16)")
     ap.add_argument("--conv-impl", default="xla",
                     choices=["xla", "pallas", "dots"])

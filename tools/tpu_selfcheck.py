@@ -271,6 +271,18 @@ def main():
     check("s2d stem vs literal (bf16-close)", rel <= 2 ** -6,
           "(rel {:.2e})".format(rel))
 
+    # --- 8b. FUSED s2d stem kernel vs the XLA s2d stem (r3) -------------------
+    # Same math, single Pallas pass (ops/stem_s2d_pallas.py) — must track
+    # the XLA s2d output within bf16 partial-sum noise on real Mosaic.
+    from mv3d_tf_tpu.ops.stem_s2d_pallas import stem_s2d_fused
+    got_f = np.asarray(stem_s2d_fused(xs2, jnp.asarray(w1),
+                                      jnp.asarray(b1), jnp.asarray(w2),
+                                      jnp.asarray(b2),
+                                      dtype=jnp.bfloat16), np.float32)
+    rel_f = np.abs(got_t - got_f).max() / max(np.abs(got_t).max(), 1e-6)
+    check("s2d stem FUSED vs XLA s2d (bf16-close)", rel_f <= 2 ** -6,
+          "(rel {:.2e})".format(rel_f))
+
     # --- 9. ROI pool on int8 feature maps (r2) --------------------------------
     # The quantized detector pools s8 features directly; Mosaic has no
     # int8 reduction lowering, so the kernel reduces in int32 — this
