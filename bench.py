@@ -185,13 +185,21 @@ def main():
     import subprocess
     import os.path as _osp
     here = _osp.dirname(_osp.abspath(__file__))
+    # r3 probe set (ranked by the r3 stage record, PERF.md): XLA s8
+    # post-stem trunks measured AT the s8 ceiling (23.45 ms/batch-8)
+    # while the Pallas v2 kernels lost (29.02) and the r2 s2d_int8 full
+    # stack lost badly (48.17) — so the fast configs are fused-stem +
+    # conv-impl=xla. quant_pool=False dodges the s8-pool fused-graph
+    # worker fault (ab_detect_r3.log) at zero measured pool cost.
     probes = [
-        ("int8 full stack (s2d_int8 stem, pallas s8 convs, int8 "
-         "head+rpn)",
-         ["--int8", "--int8-head", "--int8-rpn", "--conv-impl",
-          "pallas", "--stem", "s2d_int8"]),
-        ("bf16 + s2d stem",
-         ["--stem", "s2d"]),
+        ("int8-xla trunks + fused s2d stem + int8 head/rpn, bf16 pool",
+         ["--int8", "--int8-head", "--int8-rpn", "--conv-impl", "xla",
+          "--stem", "s2d_fused", "--no-quant-pool"]),
+        ("int8-xla trunks + fused s2d stem, bf16 pool/head",
+         ["--int8", "--conv-impl", "xla", "--stem", "s2d_fused",
+          "--no-quant-pool"]),
+        ("bf16 + fused s2d stem",
+         ["--stem", "s2d_fused"]),
     ]
     for name, flags in probes:
         # global budget: never let cold-cache probe compiles push the

@@ -252,9 +252,10 @@ class KittiMV3D(Imdb):
         in mayavi). Those corners are axis-aligned lidar boxes at the
         car's true l/w (rois_3d), so against YAWED gt corners both the
         projected 2D box and the 3D aabb are systematically undersized —
-        official 2d/3d AP @0.7 collapse by construction, while BEV @0.5
-        stays healthy (measured: 2d-hard 0.03 / 3d 0.00 vs BEV@0.5 0.84
-        at iter 2000 on the synthetic val). Passing all_boxes_cnr_r
+        official 2d/3d AP @0.7 collapse by construction while BEV@0.5
+        stays healthy (committed evidence: the per-checkpoint parity
+        vs quality tables in experiments/results/, accuracy_eval.py
+        trajectory). Passing all_boxes_cnr_r
         prints a second, quality-mode table on the stage-2 REGRESSED
         corners (free-form 24-dof, can represent yaw) with the
         translation-keeping projection — the MV3D design's actual 3D

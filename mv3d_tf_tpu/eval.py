@@ -215,6 +215,20 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
                               * s_im).astype(jnp.bfloat16)
                 cls_score, cls_prob, bbox_pred = mv3d.fusion_head(
                     params, pooled_bv, pooled_img, dtype=head_dtype)
+        elif qstate is not None and qstate.get("head") is not None:
+            # quant_pool=False + int8 head: the bf16 pool emitted
+            # dequantized trunk values — requantize back to s8 at the
+            # trunk output scale (q' = round(q*s/s): exact up to the
+            # single bf16 rounding of q*s) and run the s8 head
+            from mv3d_tf_tpu import quant as Q
+            s_bv = qstate["trunk_bv"]["conv5_3"]["s_out"]
+            s_im = qstate["trunk_img"]["conv5_3"]["s_out"]
+            q_bv = jnp.clip(jnp.round(pooled_bv.astype(jnp.float32)
+                                      / s_bv), 0, 127).astype(jnp.int8)
+            q_im = jnp.clip(jnp.round(pooled_img.astype(jnp.float32)
+                                      / s_im), 0, 127).astype(jnp.int8)
+            cls_score, cls_prob, bbox_pred = Q.fusion_head_int8(
+                params, qstate["head"], q_bv, s_bv, q_im, s_im)
         else:
             cls_score, cls_prob, bbox_pred = mv3d.fusion_head(
                 params, pooled_bv, pooled_img, dtype=head_dtype)

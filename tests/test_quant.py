@@ -284,3 +284,64 @@ def test_trunk_conv_impl_dots_matches_xla(small_params, rng):
     f_dot, s_dot = Q.trunk_apply_int8_from_stem(qt, stem, conv_impl="dots")
     assert float(s_xla) == float(s_dot)
     np.testing.assert_array_equal(np.asarray(f_xla), np.asarray(f_dot))
+
+
+def test_quant_pool_false_matches_s8_pool(small_params, rng):
+    """quant_pool=False (dequantized bf16 pool/head tail — the fused-
+    graph fault dodge, eval.py) must track the s8-pool path: max
+    commutes with the monotone dequant, so scores should agree to bf16
+    noise (tiny shapes, CPU)."""
+    from mv3d_tf_tpu.eval import build_detect_batch_fn
+    params = small_params
+    B = 2
+    bev = rng.rand(B, 81, 81, 9).astype(np.float32)
+    image = (rng.rand(B, 88, 120, 3) * 255).astype(np.float32)
+    import __graft_entry__ as graft
+    calib = np.tile(graft._example_calib()[None], (B, 1, 1))
+
+    from mv3d_tf_tpu.eval import PIXEL_MEANS
+    qs = Q.build_quant_state(params, bev, image - PIXEL_MEANS)
+    kwargs = dict(feat_h=10, feat_w=10, pre_nms_top_n=50, post_nms_top_n=10)
+    det_a = build_detect_batch_fn(quant=qs, **kwargs)(
+        params, bev, image, calib)
+    det_b = build_detect_batch_fn(quant=qs, quant_pool=False, **kwargs)(
+        params, bev, image, calib)
+    va = np.asarray(det_a["valid"])
+    vb = np.asarray(det_b["valid"])
+    np.testing.assert_array_equal(va, vb)
+    both = va & vb
+    sa = np.asarray(det_a["scores"])[both]
+    sb = np.asarray(det_b["scores"])[both]
+    assert np.abs(sa - sb).max() < 0.02, np.abs(sa - sb).max()
+
+
+def test_quant_pool_false_with_int8_head(small_params, rng):
+    """quant_pool=False + int8 head: the pooled bf16 features are
+    requantized at the trunk output scale and fed to the s8 head —
+    runs end-to-end, finite, and tracks the s8-pool int8-head path."""
+    from mv3d_tf_tpu.eval import PIXEL_MEANS, build_detect_batch_fn
+    params = small_params
+    B = 2
+    bev = rng.rand(B, 81, 81, 9).astype(np.float32)
+    image = (rng.rand(B, 88, 120, 3) * 255).astype(np.float32)
+    import __graft_entry__ as graft
+    calib = np.tile(graft._example_calib()[None], (B, 1, 1))
+
+    img_ms = image - PIXEL_MEANS
+    kwargs = dict(feat_h=10, feat_w=10, pre_nms_top_n=50,
+                  post_nms_top_n=12)
+    pool_bv, pool_img = Q.calibrate_pooled_features(
+        params, bev, img_ms, calib, feat_h=10, feat_w=10,
+        post_nms_top_n=12)
+    qs = Q.build_quant_state(params, bev, img_ms, pooled_bv=pool_bv,
+                             pooled_img=pool_img)
+    det_a = build_detect_batch_fn(quant=qs, **kwargs)(
+        params, bev, image, calib)
+    det_b = build_detect_batch_fn(quant=qs, quant_pool=False, **kwargs)(
+        params, bev, image, calib)
+    np.testing.assert_array_equal(np.asarray(det_a["valid"]),
+                                  np.asarray(det_b["valid"]))
+    both = np.asarray(det_a["valid"]) & np.asarray(det_b["valid"])
+    sa = np.asarray(det_a["scores"])[both]
+    sb = np.asarray(det_b["scores"])[both]
+    assert np.abs(sa - sb).max() < 0.05, np.abs(sa - sb).max()
