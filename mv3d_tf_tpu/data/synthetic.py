@@ -41,17 +41,70 @@ def _cam_to_lidar_box(cam_box, ry):
     return cam_cnr, lidar_cnr, lidar_3d
 
 
-def _sample_box_points(rng, lidar_cnr, n=600):
-    """Points on the axis-aligned bounding volume of the car corners."""
-    c = lidar_cnr.reshape(3, 8)
-    lo, hi = c.min(1), c.max(1)
-    pts = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
-    # push points to a random face to look like a surface scan
+def _sample_box_points(rng, cam_box, ry, n=600):
+    """Points on the YAWED car box surfaces in the lidar frame.
+
+    Two properties matter for the corner-regression stage
+    (targets = yawed gt corners - axis-aligned roi corners):
+      * points lie on the ROTATED box, so the BEV footprint's principal
+        axis reveals yaw mod pi (the original generator sampled the
+        axis-aligned bounding volume — yaw was invisible in the data and
+        the corner regressor's optimum was box collapse);
+      * the height profile is front/back ASYMMETRIC (low hood in front,
+        tall cabin at the rear), disambiguating yaw vs yaw+pi — a
+        symmetric box makes the two heading modes equally likely and an
+        L2-trained regressor predicts their average (again collapse).
+    """
+    l, w, h = float(cam_box[3]), float(cam_box[4]), float(cam_box[5])
+    # local frame per compute_corners_3d_np: x forward +-l/2, y 0..-h
+    # (camera y points down), z +-w/2
+    x = rng.uniform(-l / 2, l / 2, n).astype(np.float32)
+    z = rng.uniform(-w / 2, w / 2, n).astype(np.float32)
+    # push each point to one of (end, side, top) faces — a surface scan
     ax = rng.randint(3, size=n)
-    face = np.where(rng.rand(n) < 0.5, lo[ax], hi[ax]).astype(np.float32)
-    pts[np.arange(n), ax] = face
-    refl = rng.uniform(0.2, 0.9, (n, 1)).astype(np.float32)
-    return np.hstack([pts, refl])
+    hi = rng.rand(n) < 0.5
+    x = np.where(ax == 0, np.where(hi, l / 2, -l / 2), x).astype(np.float32)
+    z = np.where(ax == 1, np.where(hi, w / 2, -w / 2), z).astype(np.float32)
+    # hood: the front 40% of the car caps at 0.55h; cabin at full h
+    # (cap from the FINAL x so pushed end-face points obey the profile)
+    cap = np.where(x > 0.1 * l, 0.55 * h, h).astype(np.float32)
+    y = -(rng.uniform(0.0, 1.0, n).astype(np.float32) * cap)
+    y = np.where(ax == 2, -cap, y).astype(np.float32)
+    cos, sin = np.float32(np.cos(ry)), np.float32(np.sin(ry))
+    R = np.array([[cos, 0.0, sin], [0.0, 1.0, 0.0], [-sin, 0.0, cos]],
+                 np.float32)
+    cam = R @ np.stack([x, y, z]) + np.asarray(
+        cam_box[:3], np.float32)[:, None]
+    # camera -> lidar via the SAME legacy inverse the corner path uses
+    # (homogeneous 0: translation dropped, consistent with the labels)
+    RT = Gnp._legacy_inverse_rt_np(TR_VELO2CAM)
+    lidar = RT @ np.concatenate([cam, np.zeros((1, n), np.float32)])
+    refl = rng.uniform(0.2, 0.9, (1, n)).astype(np.float32)
+    return np.vstack([lidar, refl]).T.astype(np.float32)
+
+
+def _draw_cars(rng, image_hw, cars):
+    """Render car patches over a noise background so the image branch
+    carries signal: a filled hull per car (far-to-near painter order)
+    with the FRONT face highlighted (heading cue in the image view)."""
+    from PIL import Image, ImageDraw
+    arr = (rng.rand(*image_hw, 3) * 60 + 90).astype(np.uint8)
+    im = Image.fromarray(arr)
+    draw = ImageDraw.Draw(im)
+    for cam_cnr, tz in sorted(cars, key=lambda c: -c[1]):
+        img = Gnp.project_to_image_np(cam_cnr, P2)   # (2, 8)
+        ctr = img.mean(axis=1)
+        order = np.argsort(np.arctan2(img[1] - ctr[1], img[0] - ctr[0]))
+        body = tuple(rng.randint(30, 80) for _ in range(3))
+        draw.polygon([tuple(img[:, j]) for j in order], fill=body)
+        # front face = local +x corners 0,1,5,4 (compute_corners_3d_np)
+        front = img[:, [0, 1, 5, 4]]
+        fctr = front.mean(axis=1)
+        forder = np.argsort(
+            np.arctan2(front[1] - fctr[1], front[0] - fctr[0]))
+        bright = tuple(min(255, c + 120) for c in body)
+        draw.polygon([tuple(front[:, j]) for j in forder], fill=bright)
+    return np.asarray(im)
 
 
 def _frame_labels(rng, n_cars):
@@ -71,8 +124,12 @@ def _frame_labels(rng, n_cars):
 
 def generate(root, num_frames=4, cars_per_frame=3, seed=0,
              image_hw=(375, 1242), splits=("train", "val"),
-             write_bv=True):
-    """Create the dataset under <root>/ (use as kitti_path). Returns root."""
+             write_bv=True, train_frac=0.5):
+    """Create the dataset under <root>/ (use as kitti_path). Returns root.
+
+    train_frac controls the train/val split point (default: half) —
+    accuracy runs that need more training data than validation data pass
+    e.g. 0.8."""
     rng = np.random.RandomState(seed)
     obj = osp.join(root, "object", "training")
     for sub in ("velodyne", "label_2", "calib", "image_2", "lidar_bv"):
@@ -87,10 +144,12 @@ def generate(root, num_frames=4, cars_per_frame=3, seed=0,
                         (4000, 3)).astype(np.float32),
             rng.uniform(0.1, 0.4, (4000, 1)).astype(np.float32)])]
         lines = []
+        cars = []
         for (tx, ty, tz, l, w, h, ry) in labels:
             cam_box = np.array([tx, ty, tz, l, w, h], np.float32)
             cam_cnr, lidar_cnr, _ = _cam_to_lidar_box(cam_box, ry)
-            pts.append(_sample_box_points(rng, lidar_cnr))
+            pts.append(_sample_box_points(rng, cam_box, ry))
+            cars.append((cam_cnr, tz))
             img = Gnp.project_to_image_np(cam_cnr, P2)
             x1, y1 = img.min(1)
             x2, y2 = img.max(1)
@@ -116,12 +175,13 @@ def generate(root, num_frames=4, cars_per_frame=3, seed=0,
                     + " ".join(str(v) for v in TR_VELO2CAM.reshape(-1)) + "\n")
             f.write("Tr_imu_to_velo: " + z12 + "\n")
         _write_png(osp.join(obj, "image_2", index + ".png"),
-                   (rng.rand(*image_hw, 3) * 60 + 90).astype(np.uint8))
+                   _draw_cars(rng, image_hw, cars))
         if write_bv:
             np.save(osp.join(obj, "lidar_bv", index + ".npy"),
                     point_cloud_2_top_host(scan))
 
-    half = max(1, num_frames // 2)
+    half = min(max(1, int(round(num_frames * train_frac))),
+               max(1, num_frames - 1))
     split_frames = {"train": indices[:half], "val": indices[half:],
                     "trainval": indices, "test": indices}
     for s in splits:

@@ -40,17 +40,44 @@ def load_checkpoint(path, params_like, opt_state_like=None):
     Loading params-only from a params+opt_state snapshot is supported
     (non-strict restore) — the reference's test path similarly loads
     weights without optimizer state.
+
+    Snapshots record the device sharding they were saved with; a snapshot
+    written on the TPU is still loadable on a CPU-only host (offline
+    analysis, eval on another machine) via the host-restore fallback.
     """
     ckptr = ocp.StandardCheckpointer()
-    template = {"params": params_like}
-    if opt_state_like is not None:
-        template["opt_state"] = opt_state_like
-        restored = ckptr.restore(osp.abspath(path), template)
-        return restored["params"], restored["opt_state"]
-    # no template: restore the full saved tree (params [+ opt_state]) and
-    # keep params — sidesteps orbax's structure-match requirement
-    restored = ckptr.restore(osp.abspath(path))
-    return restored["params"]
+    path = osp.abspath(path)
+    try:
+        template = {"params": params_like}
+        if opt_state_like is not None:
+            template["opt_state"] = opt_state_like
+            restored = ckptr.restore(path, template)
+            return restored["params"], restored["opt_state"]
+        # no template: restore the full saved tree (params [+ opt_state])
+        # and keep params — sidesteps orbax's structure-match requirement
+        restored = ckptr.restore(path)
+        return restored["params"]
+    except ValueError as e:
+        if "was not found in jax.local_devices" not in str(e):
+            raise
+        restored = load_checkpoint_host(path)
+        if opt_state_like is not None:
+            import jax
+            opt = jax.tree.unflatten(
+                jax.tree.structure(opt_state_like),
+                jax.tree.leaves(restored["opt_state"]))
+            return restored["params"], opt
+        return restored["params"]
+
+
+def load_checkpoint_host(path):
+    """Restore a snapshot's full tree as HOST numpy arrays, ignoring the
+    saved device shardings (e.g. a TPU-written snapshot on a CPU host)."""
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.metadata(osp.abspath(path)).item_metadata.tree
+    import jax
+    return ckptr.restore(osp.abspath(path), restore_args=jax.tree.map(
+        lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree))
 
 
 def latest_snapshot(output_dir):

@@ -151,3 +151,58 @@ def test_prefetch_worker_error_propagates():
     layer = RoIDataLayer(bad, prefetch=1)
     with pytest.raises(RuntimeError, match="prefetch worker died"):
         layer.forward()
+
+
+def test_box_points_follow_yaw():
+    """The car's lidar points must lie on the YAWED box (not its
+    axis-aligned bounding volume): yaw has to be observable in the data
+    for the corner-regression stage to be learnable (the pre-r3 generator
+    sampled the aabb — quality-mode AP was provably stuck at 0)."""
+    rng = np.random.RandomState(0)
+    cam_box = np.array([0.0, 1.65, 20.0, 4.2, 1.6, 1.5], np.float32)
+    ry = np.pi / 4
+    pts = synthetic._sample_box_points(rng, cam_box, ry, n=4000)
+    from mv3d_tf_tpu import geometry_np as Gnp
+    cam_cnr = Gnp.compute_corners_3d_np(cam_box, ry)
+    lidar_cnr = Gnp.camera_to_lidar_cnr_np(cam_cnr, synthetic.TR_VELO2CAM)
+    c = lidar_cnr.reshape(3, 8)
+    ctr = c.mean(1)
+    # footprint PCA axis must align with the yawed box's long axis
+    xy = pts[:, :2] - ctr[:2]
+    cov = xy.T @ xy / len(xy)
+    evec = np.linalg.eigh(cov)[1][:, -1]
+    long_axis = c[:2, 0] - c[:2, 3]          # corner0 - corner3 = length dir
+    long_axis /= np.linalg.norm(long_axis)
+    assert abs(float(evec @ long_axis)) > 0.95
+    # and points must NOT fill the aabb: the aabb corner regions outside
+    # the yawed footprint stay (near) empty
+    lo, hi = c.min(1), c.max(1)
+    corner_lo = ((pts[:, 0] < lo[0] + 0.5) & (pts[:, 1] < lo[1] + 0.5))
+    assert corner_lo.mean() < 0.005
+
+
+def test_box_points_heading_asymmetry():
+    """Front (hood, low) vs rear (cabin, tall) must differ in max height —
+    the cue that disambiguates yaw from yaw+pi for the corner regressor."""
+    rng = np.random.RandomState(1)
+    cam_box = np.array([0.0, 1.65, 20.0, 4.2, 1.6, 1.5], np.float32)
+    pts = synthetic._sample_box_points(rng, cam_box, 0.0, n=4000)
+    # ry=0: camera +x (car forward) == lidar -y (TR_VELO2CAM)
+    front = pts[pts[:, 1] < -0.8]
+    rear = pts[pts[:, 1] > 0.8]
+    assert front[:, 2].max() < rear[:, 2].max() - 0.3
+
+
+def test_images_contain_car_patches(kitti_root):
+    """The image view must carry car signal (the pre-r3 generator wrote
+    pure noise): pixels inside a projected gt box differ from the noise
+    background's 90..150 range."""
+    from PIL import Image
+    db = KittiMV3D("train", kitti_path=kitti_root)
+    entry = db.roidb[0]
+    im = np.asarray(Image.open(db.image_path_at(0)), np.float32)
+    x1, y1, x2, y2 = entry["boxes"][0].astype(int)
+    patch = im[max(y1, 0):y2, max(x1, 0):x2]
+    assert patch.size > 0
+    # the painted body/front fills are outside the 90..150 noise band
+    assert (patch < 85).mean() + (patch > 155).mean() > 0.3
