@@ -120,6 +120,12 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
     # per-bin reduction covers WIN columns instead of all W. W_pad - WIN
     # is a multiple of 8, keeping the right-edge clamp aligned too.
     WIN = min(W_pad, ((mb_w + 7 + 8) // 8) * 8)
+    # row-max window: the H-reduction only needs the roi's COLUMN span,
+    # not the full padded width (a car roi spans ~5-8 BEV / ~15-20 image
+    # cells of W_pad = 80 / 160). RWIN covers a typical roi in ONE
+    # aligned segment; wide rois fall back to a dynamic-count segment
+    # loop over the same aligned window (uniform code, no cond).
+    RWIN = min(W_pad, 32)
 
     def kernel(bidx_ref, hs_ref, he_ref, ws_ref, we_ref, feat_ref, out_ref,
                acc_ref):
@@ -132,6 +138,11 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
 
         def one_roi(rr, _):
             r = base_r + rr
+            # the roi's full column span (bin bounds are monotone)
+            span0 = ws_ref[0, r]
+            span1 = we_ref[pooled - 1, r]
+            span_base = jnp.clip((span0 // 8) * 8, 0, W_pad - RWIN)
+            nseg = jnp.maximum(1, (span1 - span_base + RWIN - 1) // RWIN)
             for ph in range(pooled):
                 h0 = hs_ref[ph, r]
                 h1 = he_ref[ph, r]
@@ -140,13 +151,22 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
                 # hence the aligned-window trick below for columns. The
                 # row loop has DYNAMIC bounds: typical BEV car rois span
                 # 1-2 feature rows vs the static worst case of ~13, so
-                # masking a fixed unroll wastes ~6x the work.
-                acc = jax.lax.fori_loop(
-                    h0, h1,
-                    lambda h, a: jnp.maximum(
-                        a, feat_ref[0, h].astype(red_dt)),
-                    jnp.full((W_pad, CT), neg, red_dt))
-                acc_ref[:] = acc
+                # masking a fixed unroll wastes ~6x the work. Columns are
+                # reduced RWIN at a time over the roi span only; scratch
+                # regions outside the span hold stale values, which the
+                # pw mask below never selects (w0 >= span_base).
+                def seg_body(s, _):
+                    off = jnp.clip(span_base + s * RWIN, 0, W_pad - RWIN)
+                    off = pl.multiple_of(off, 8)
+                    a = jax.lax.fori_loop(
+                        h0, h1,
+                        lambda h, a: jnp.maximum(
+                            a, feat_ref[0, h, pl.ds(off, RWIN), :]
+                            .astype(red_dt)),
+                        jnp.full((RWIN, CT), neg, red_dt))
+                    acc_ref[pl.ds(off, RWIN), :] = a
+                    return 0
+                jax.lax.fori_loop(0, nseg, seg_body, 0)
                 for pw in range(pooled):
                     w0 = ws_ref[pw, r]
                     w1 = we_ref[pw, r]

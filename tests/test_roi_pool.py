@@ -236,3 +236,31 @@ def test_int8_features_pallas_interpret(rng):
     ref = np.asarray(roi_pool(jnp.asarray(q), jnp.asarray(rois),
                               pooled=7, spatial_scale=1 / 8))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_windowed_rowmax_wide_map_interpret(rng):
+    """The segmented row-max (RWIN=32 < W_pad) must stay bit-exact on an
+    image-scale map for narrow, wide (multi-segment), right-edge
+    (clamped segments + clamped pw window), and sub-cell rois — the
+    existing tests use W<=24 where the window covers the whole width."""
+    from mv3d_tf_tpu.ops.roi_pool_pallas import roi_pool_pallas
+    H, W = 40, 156                       # W_pad=160 > RWIN=32
+    feat = rng.randn(H, W, 8).astype(np.float32)
+    rois = np.array([
+        [0, 40, 40, 120, 90],        # typical car (10 cells wide)
+        [0, 0, 0, 8 * W - 1, 8 * H - 1],   # full map (5 segments)
+        [0, 8 * W - 60, 80, 8 * W - 2, 140],  # hugs the right edge
+        [0, 0, 8, 50, 60],           # left edge
+        [0, 500, 100, 503, 102],     # sub-cell (empty-ish bins)
+        [0, 1000, 200, 1040, 230],
+    ], np.float32)
+    got = np.asarray(roi_pool_pallas(feat, rois, spatial_scale=1 / 8,
+                                     max_in_h=8 * H, max_in_w=8 * W,
+                                     interpret=True))
+    exp = roi_pool_np(feat, rois, spatial_scale=1 / 8)
+    np.testing.assert_array_equal(got, exp)
+    # blocked variant on the same wide map
+    got2 = np.asarray(roi_pool_pallas(feat, rois, spatial_scale=1 / 8,
+                                      max_in_h=8 * H, max_in_w=8 * W,
+                                      interpret=True, rois_per_step=3))
+    np.testing.assert_array_equal(got2, exp)
