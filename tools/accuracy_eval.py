@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="continue from the latest snapshot in --out "
                          "(keeps the previously recorded trajectory)")
+    ap.add_argument("--data-hbm-gb", type=float, default=None,
+                    help="override cfg.TPU.TRAIN_DATA_HBM_GB (device-"
+                         "resident train-set budget; above it the solver "
+                         "falls back to the ~2 s/iter host feed)")
     args = ap.parse_args()
 
     import jax
@@ -62,6 +66,8 @@ def main():
     # scalar-prefetch budget, and the keep-set differs from the recipe.
     cfg_from_file(os.path.join(cfg.ROOT_DIR, "experiments", "cfgs",
                                "faster_rcnn_end2end.yml"))
+    if args.data_hbm_gb is not None:
+        cfg.TPU.TRAIN_DATA_HBM_GB = args.data_hbm_gb
     from mv3d_tf_tpu.data import synthetic
     from mv3d_tf_tpu.data.kitti import KittiMV3D, prepare_roidb
     from mv3d_tf_tpu.data.kitti_eval import (evaluate_kitti_bev,
