@@ -185,21 +185,22 @@ def main():
     import subprocess
     import os.path as _osp
     here = _osp.dirname(_osp.abspath(__file__))
-    # r3 probe set (ranked by the r3 stage record, PERF.md): XLA s8
-    # post-stem trunks measured AT the s8 ceiling (23.45 ms/batch-8)
-    # while the Pallas v2 kernels lost (29.02) and the r2 s2d_int8 full
-    # stack lost badly (48.17) — so the fast configs are fused-stem +
-    # conv-impl=xla. quant_pool=False dodges the s8-pool fused-graph
-    # worker fault (ab_detect_r3.log) at zero measured pool cost.
+    # r3 probe set (ranked by the r3 stage records in
+    # experiments/results/r3): XLA s8 post-stem trunks measured AT the
+    # s8 ceiling (23.3 ms/batch-8; the Pallas s8 route is a dead end on
+    # this stack — a raw Pallas s8 matmul only reaches 54.9 TOP/s,
+    # microbench_pallas.log) and the s2d XLA stem (21.05) beats both the
+    # literal (26.69) and the fused Pallas stem (30.27). The target is
+    # throughput frames/s/chip (BASELINE.json), so batch size is free —
+    # larger batches amortize the proposal/pool/dispatch fixed costs.
     probes = [
-        ("int8-xla trunks + fused s2d stem + int8 head/rpn, bf16 pool",
-         ["--int8", "--int8-head", "--int8-rpn", "--conv-impl", "xla",
-          "--stem", "s2d_fused", "--no-quant-pool"]),
-        ("int8-xla trunks + fused s2d stem, bf16 pool/head",
-         ["--int8", "--conv-impl", "xla", "--stem", "s2d_fused",
+        ("bf16 batch 16", ["--batch", "16"]),
+        ("bf16 + s2d stem", ["--stem", "s2d"]),
+        ("int8-xla trunks + s2d stem, bf16 pool/head",
+         ["--int8", "--conv-impl", "xla", "--stem", "s2d",
           "--no-quant-pool"]),
-        ("bf16 + fused s2d stem",
-         ["--stem", "s2d_fused"]),
+        ("int8-xla trunks + int8 head/rpn + s8 pool",
+         ["--int8", "--int8-head", "--int8-rpn", "--conv-impl", "xla"]),
     ]
     for name, flags in probes:
         # global budget: never let cold-cache probe compiles push the

@@ -69,7 +69,7 @@ def _build_device_dataset(roidb, log=print):
 def train_net(imdb, roidb, output_dir, pretrained_model=None,
               max_iters=10000, compute_dtype=None, seed=None,
               display=None, snapshot_iters=None, log=print,
-              resume=False, trace_dir=None):
+              resume=False, trace_dir=None, device_data=None):
     """Train MV3D on a roidb. Returns final params.
 
     resume=True restores the latest snapshot in output_dir INCLUDING
@@ -78,6 +78,11 @@ def train_net(imdb, roidb, output_dir, pretrained_model=None,
     trace_dir (or cfg.TRAIN.DEBUG_TIMELINE) captures a profiler trace of
     iterations 2-4, the TPU equivalent of the reference's Chrome-trace
     timelines (train_mv.py:188-192).
+    device_data: a prebuilt _build_device_dataset result — segmented
+    drivers (train N, eval, train N more) pass it to pin the train set
+    ONCE instead of re-transferring GiBs per segment (the r3 recipe run
+    measured 80 s -> 2882 s per re-pin as the tunnel degraded, and the
+    6th re-pin wedged the worker).
     """
     roidb = filter_roidb(roidb)
     display = cfg.TRAIN.DISPLAY if display is None else display
@@ -95,8 +100,8 @@ def train_net(imdb, roidb, output_dir, pretrained_model=None,
     # Device-resident dataset: on real TPU the per-iteration host feed
     # costs 1.4-2.2 s/iter of tunnel transfer vs ~86 ms of compute
     # (r3 accuracy run); pin the whole roidb in HBM when it fits.
-    device_data = None
-    if jax.default_backend() != "cpu" and compute_dtype is not None:
+    if (device_data is None and jax.default_backend() != "cpu"
+            and compute_dtype is not None):
         device_data = _build_device_dataset(roidb, log)
 
     builder_kwargs = dict(

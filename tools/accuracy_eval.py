@@ -190,6 +190,15 @@ def main():
         if msg.startswith("iter:"):
             losses.append(msg)
 
+    # pin the (filtered) train set on device ONCE for all segments: the
+    # r3 recipe run re-pinned per segment and the transfers degraded
+    # 80 s -> 2882 s before wedging the worker (accuracy_50k.log)
+    device_data = None
+    if jax.default_backend() != "cpu" and dtype is not None \
+            and args.iters > resume_from:
+        device_data = solver._build_device_dataset(
+            solver.filter_roidb(roidb))
+
     done = resume_from
     while done < args.iters:
         upto = min(done + args.eval_every, args.iters)
@@ -197,7 +206,8 @@ def main():
             train_imdb, roidb, out_dir,
             pretrained_model=pretrain_path if done == 0 else None,
             max_iters=upto, compute_dtype=dtype, resume=done > 0,
-            display=50, snapshot_iters=args.eval_every, log=log_capture)
+            display=50, snapshot_iters=args.eval_every, log=log_capture,
+            device_data=device_data)
         done = upto
         traj["evals"].append(run_eval(params, "iter{}".format(done)))
         traj["losses"] = losses
