@@ -90,7 +90,7 @@ def build_forward_losses(feat_h=75, feat_w=75, pre_nms_top_n=12000,
                          post_nms_top_n=2000, rpn_nms_thresh=0.7,
                          rois_per_image=128, keep_prob=0.5,
                          compute_dtype=None, pool_impl="train",
-                         stem_impl=None):
+                         stem_impl=None, roi_chunk=None):
     """Per-frame forward + 4-term loss as a pure function
     (params, batch, key) -> metrics dict.  vmap-able over frames for
     data-parallel training (parallel/mesh.py — which passes
@@ -99,8 +99,21 @@ def build_forward_losses(feat_h=75, feat_w=75, pre_nms_top_n=12000,
 
     stem_impl="s2d" runs conv1 as the space-to-depth packed convs
     (ops/stem_s2d.py — differentiable, gradient-equivalent to the
-    literal stem per tests/test_stem_s2d.py)."""
-    pool = roi_pool_train if pool_impl == "train" else roi_pool
+    literal stem per tests/test_stem_s2d.py).
+    roi_chunk (xla pool only) processes rois in sequential blocks of
+    this size, and the xla pool is rematerialized (jax.checkpoint):
+    autodiff through the unrolled max chain otherwise saves every
+    (rois, pooled, W, C) intermediate — ~30 x 1.07 GiB slabs when the
+    per-frame losses are vmapped over 8 frames (ab_train_literal.log
+    OOM, 34.4 G) — while remat+chunk re-derives them blockwise in the
+    backward for ~one extra pool's FLOPs."""
+    if pool_impl == "train":
+        pool = roi_pool_train
+    else:
+        def pool(feat, rois, **kw):
+            def inner(f, r):
+                return roi_pool(f, r, chunk=roi_chunk, **kw)
+            return jax.checkpoint(inner)(feat, rois)
     max_img_h = int(IMG_BOUNDS[0] + 2 * IMG_PAD + 10)
     max_img_w = int(IMG_BOUNDS[1] + 2 * IMG_PAD + 10)
 

@@ -20,7 +20,10 @@ def log(*a):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="frames per dispatch (default: 8 for detect, "
+                         "1 for --train — the reference recipe is "
+                         "batch-1, train_mv.py:159-183)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--stem", default="pallas",
                     choices=["pallas", "xla", "s2d", "s2d_fused",
@@ -46,6 +49,8 @@ def main():
                          "the bf16 pool/head path (measured same pool "
                          "speed; dodges the s8-pool fused-graph fault)")
     args = ap.parse_args()
+    if args.batch is None:
+        args.batch = 1 if args.train else 8
 
     import jax
     from mv3d_tf_tpu.utils.cache import enable_compile_cache
@@ -146,7 +151,8 @@ def _bench_train(args, jax, jnp, np, params, bev, image, calib,
         from mv3d_tf_tpu.train import build_forward_losses
         fwd = build_forward_losses(compute_dtype=jnp.bfloat16,
                                    pool_impl="xla",
-                                   stem_impl=stem_impl)
+                                   stem_impl=stem_impl,
+                                   roi_chunk=32)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(params, opt_state, batch, key):  # noqa: F811
