@@ -115,11 +115,16 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
     # and the pooled result is narrowed on write.
     red_dt = jnp.int32 if jnp.issubdtype(dtype, jnp.integer) else dtype
 
-    # column-bin window: mb_w columns starting at an 8-ALIGNED offset
-    # (Mosaic allows dynamic sublane slices at multiples of 8), so the
-    # per-bin reduction covers WIN columns instead of all W. W_pad - WIN
-    # is a multiple of 8, keeping the right-edge clamp aligned too.
-    WIN = min(W_pad, ((mb_w + 7 + 8) // 8) * 8)
+    # column-bin window: CWIN columns starting at an 8-ALIGNED offset
+    # (Mosaic allows dynamic sublane slices at multiples of 8). Bins
+    # wider than one window fall back to a dynamic-count segment loop —
+    # the same pattern as the row stage. CWIN is sized for the TYPICAL
+    # bin (1-4 feature cells + alignment slack), not the worst case
+    # (mb_w up to ~27 on the image view): the masked (window, CT) max is
+    # the kernel's dominant VPU cost, 49 bins/roi, so a 16-wide window
+    # does ~2.5x less select/reduce work than the old worst-case-sized
+    # WIN=40 while wide bins just take extra segments.
+    CWIN = min(W_pad, 16)
     # row-max window: the H-reduction only needs the roi's COLUMN span,
     # not the full padded width (a car roi spans ~5-8 BEV / ~15-20 image
     # cells of W_pad = 80 / 160). RWIN covers a typical roi in ONE
@@ -134,7 +139,7 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
         # so the pipeline re-DMAs the block only at frame/ctile
         # boundaries (~B*C/CT fetches) instead of every step
         base_r = pl.program_id(1) * RT
-        iota_win = jax.lax.broadcasted_iota(jnp.int32, (WIN, 1), 0)
+        iota_cwin = jax.lax.broadcasted_iota(jnp.int32, (CWIN, 1), 0)
 
         def one_roi(rr, _):
             r = base_r + rr
@@ -170,14 +175,23 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
                 for pw in range(pooled):
                     w0 = ws_ref[pw, r]
                     w1 = we_ref[pw, r]
-                    base = jnp.clip((w0 // 8) * 8, 0, W_pad - WIN)
-                    win = acc_ref[pl.ds(pl.multiple_of(base, 8), WIN), :]
-                    off = iota_win + base
-                    mask = (off >= w0) & (off < w1)
-                    m = jnp.max(
-                        jnp.where(mask, win,
-                                  jnp.full((WIN, CT), neg, red_dt)),
-                        axis=0).astype(dtype)
+                    base = jnp.clip((w0 // 8) * 8, 0, W_pad - CWIN)
+                    nsw = jnp.maximum(1, (w1 - base + CWIN - 1) // CWIN)
+
+                    def wseg(s, m):
+                        off = jnp.clip(base + s * CWIN, 0, W_pad - CWIN)
+                        off = pl.multiple_of(off, 8)
+                        win = acc_ref[pl.ds(off, CWIN), :]
+                        offs = iota_cwin + off
+                        mask = (offs >= w0) & (offs < w1)
+                        return jnp.maximum(m, jnp.max(
+                            jnp.where(mask, win,
+                                      jnp.full((CWIN, CT), neg, red_dt)),
+                            axis=0, keepdims=True))
+
+                    m = jax.lax.fori_loop(
+                        0, nsw, wseg, jnp.full((1, CT), neg, red_dt))
+                    m = m[0].astype(dtype)
                     empty = (h1 <= h0) | (w1 <= w0)
                     out_ref[rr, ph, pw, :] = jnp.where(
                         empty, jnp.zeros((CT,), dtype), m)

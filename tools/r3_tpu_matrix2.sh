@@ -26,6 +26,10 @@ import jax, jax.numpy as jnp
 x = jnp.ones((256, 256), jnp.bfloat16)
 print('probe ok', float((x @ x).sum()), jax.devices()[0])"
 
+# 0b. selfcheck: the pool kernel's column stage changed (CWIN segment
+#     loop) — prove bit-exactness on real hardware before measuring
+run selfcheck3 1800 python tools/tpu_selfcheck.py
+
 # 1. pre-NMS knee on TRAINED proposals (VERDICT #2): keep-set agreement,
 #    AP, and detect time per K — picks the K for the fast configs below
 run prenms_knee 2400 python tools/prenms_knee.py \
