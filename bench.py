@@ -194,13 +194,17 @@ def main():
     # throughput frames/s/chip (BASELINE.json), so batch size is free —
     # larger batches amortize the proposal/pool/dispatch fixed costs.
     probes = [
-        ("bf16 batch 16", ["--batch", "16"]),
-        ("bf16 + s2d stem", ["--stem", "s2d"]),
         ("int8-xla trunks + s2d stem, bf16 pool/head",
          ["--int8", "--conv-impl", "xla", "--stem", "s2d",
           "--no-quant-pool"]),
-        ("int8-xla trunks + int8 head/rpn + s8 pool",
-         ["--int8", "--int8-head", "--int8-rpn", "--conv-impl", "xla"]),
+        ("int8 combo (head/rpn int8, pre-nms 1024)",
+         ["--int8", "--int8-head", "--int8-rpn", "--conv-impl", "xla",
+          "--stem", "s2d", "--no-quant-pool", "--pre-nms", "1024"]),
+        ("int8 combo batch 16",
+         ["--int8", "--int8-head", "--int8-rpn", "--conv-impl", "xla",
+          "--stem", "s2d", "--no-quant-pool", "--pre-nms", "1024",
+          "--batch", "16"]),
+        ("bf16 batch 16", ["--batch", "16"]),
     ]
     for name, flags in probes:
         # global budget: never let cold-cache probe compiles push the

@@ -36,6 +36,13 @@ def main():
                     help="also quantize + gate the fc6/fc7 head")
     ap.add_argument("--int8-rpn", action="store_true",
                     help="also quantize + gate the RPN 3x3 conv")
+    ap.add_argument("--no-quant-pool", action="store_true",
+                    help="dequantize trunk outputs before the ROI pool "
+                         "(bf16 pool/head tail — the shipping mitigation "
+                         "for the s2d+quant-pool TPU worker fault)")
+    ap.add_argument("--pre-nms", type=int, default=6000,
+                    help="pre-NMS top-N for BOTH paths (gate the knee "
+                         "config the bench probes run)")
     args = ap.parse_args()
 
     import jax
@@ -82,11 +89,14 @@ def main():
 
     vb, vi, vc, gts = load_split("val", args.frames)
     B = len(vb)
-    det_f16 = build_detect_batch_fn(compute_dtype=jnp.bfloat16)
+    det_f16 = build_detect_batch_fn(compute_dtype=jnp.bfloat16,
+                                    pre_nms_top_n=args.pre_nms)
     det_int8 = build_detect_batch_fn(compute_dtype=jnp.bfloat16, quant=qs,
                                      quant_conv_impl=args.conv_impl,
                                      stem_impl=args.stem,
-                                     quant_rpn=args.int8_rpn)
+                                     quant_rpn=args.int8_rpn,
+                                     quant_pool=not args.no_quant_pool,
+                                     pre_nms_top_n=args.pre_nms)
 
     vb_d, vi_d, vc_d = (jax.device_put(vb), jax.device_put(vi),
                         jax.device_put(vc))
