@@ -122,11 +122,71 @@ def main():
         prob = mv3d.rpn_probs(rpn_cls)
 
         if proposal:
-            rois = jax.vmap(
-                lambda p, d, c: proposal_layer_3d(
+            if proposal is True:
+                prop_fn = lambda p, d, c: proposal_layer_3d(  # noqa: E731
                     p[None], d[None], c, 75, 75, pre_nms_top_n=6000,
                     post_nms_top_n=P, nms_thresh=0.7, nms_impl="blocked")
-            )(prob, rpn_box.astype(jnp.float32), calib)
+            else:
+                # sub-variants: replicate proposal_layer_3d with exactly
+                # one internal stage removed, to localize the proposal
+                # stage's K-independent cost (r3: the pre-NMS knee showed
+                # K 6000->512 only saves ~4.5 ms of the 14.3 ms stage)
+                from mv3d_tf_tpu.anchors import get_anchor_grid
+                from mv3d_tf_tpu.models.mv3d import rpn_fg_scores
+                from mv3d_tf_tpu.ops.nms import nms_blocked, top_k_by_score
+                grid75 = get_anchor_grid(75, 75, 8, 601, 601)
+                anchors_3d = jnp.asarray(grid75.anchors_3d)
+                anchors_bv = jnp.asarray(grid75.anchors_bv)
+                skip = proposal
+
+                def prop_fn(prob1, dlt, c):
+                    scores = rpn_fg_scores(prob1[None])[0]
+                    deltas = dlt.reshape(-1, 6)
+                    if skip == "no_decode":
+                        p3d = jnp.pad(anchors_3d, ((0, 0), (0, 1)))
+                        pbv = anchors_bv + 0.0 * deltas[:, :4]
+                        pim = pbv * 0.5
+                    else:
+                        p3d = G.bbox_transform_inv_3d(anchors_3d, deltas)
+                        pbv = G.lidar_3d_to_bv(p3d)
+                        cnr = G.lidar_3d_to_corners(p3d)
+                        pim = G.lidar_cnr_to_img(cnr, c[3], c[2], c[0])
+                        pbv = G.clip_boxes(pbv, (601, 601))
+                    ws = pbv[:, 2] - pbv[:, 0] + 1.0
+                    hs = pbv[:, 3] - pbv[:, 1] + 1.0
+                    keep = (ws >= 5.0) & (hs >= 5.0)
+                    keep &= ((pim[:, 0] >= -IMG_PAD)
+                             & (pim[:, 2] <= IMG_BOUNDS[1] + IMG_PAD)
+                             & (pim[:, 1] >= -IMG_PAD)
+                             & (pim[:, 3] <= IMG_BOUNDS[0] + IMG_PAD))
+                    if skip == "no_topk":
+                        top_idx = jnp.arange(6000, dtype=jnp.int32)
+                        top_valid = keep[:6000]
+                    else:
+                        top_idx, top_valid = top_k_by_score(scores, keep,
+                                                            6000)
+                    bv1 = pbv[top_idx]
+                    psc = scores[top_idx]
+                    if skip == "no_nms":
+                        keep_idx = jnp.arange(P, dtype=jnp.int32)
+                        keep_valid = top_valid[:P]
+                    else:
+                        keep_idx, keep_valid = nms_blocked(
+                            bv1, psc, top_valid, P, 0.7, presorted=True)
+                    zeros = jnp.zeros((P, 1), jnp.float32)
+                    mask = keep_valid[:, None].astype(jnp.float32)
+                    return {
+                        "rois_bv": jnp.concatenate(
+                            [zeros, bv1[keep_idx]], axis=1) * mask,
+                        "rois_img": jnp.concatenate(
+                            [zeros, pim[top_idx][keep_idx]], axis=1) * mask,
+                        "rois_3d": jnp.concatenate(
+                            [zeros, p3d[top_idx][keep_idx]], axis=1) * mask,
+                        "scores": psc[keep_idx] * keep_valid,
+                        "valid": keep_valid,
+                    }
+            rois = jax.vmap(prop_fn)(prob, rpn_box.astype(jnp.float32),
+                                     calib)
             frame_idx = jnp.repeat(jnp.arange(B, dtype=jnp.float32),
                                    P)[:, None]
             flat_bv = (rois["rois_bv"].reshape(B * P, 5)
@@ -183,6 +243,9 @@ def main():
         "no stem (slice)": {"stem": "skip"},
         "no conv2-5": {"trunks": False},
         "no proposal/nms": {"proposal": False},
+        "prop sans nms": {"proposal": "no_nms"},
+        "prop sans topk": {"proposal": "no_topk"},
+        "prop sans decode": {"proposal": "no_decode"},
         "no roi pool": {"pool": False},
         "no fusion head": {"fusion": False},
         "stem only": {"trunks": False, "proposal": False, "pool": False,
