@@ -33,6 +33,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--cars", type=int, default=4)
+    ap.add_argument("--train-frac", type=float, default=0.5,
+                    help="train/val split fraction at generation time "
+                         "(the r3 quality-mode root cause showed 600 "
+                         "train frames memorize; quality runs want "
+                         "train >> val)")
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--eval-every", type=int, default=500)
     ap.add_argument("--data", default="/tmp/kitti_synth_acc")
@@ -83,7 +88,8 @@ def main():
         print("generating {} synthetic frames under {}".format(
             args.frames, args.data), flush=True)
         synthetic.generate(args.data, num_frames=args.frames,
-                           cars_per_frame=args.cars, seed=args.seed)
+                           cars_per_frame=args.cars, seed=args.seed,
+                           train_frac=args.train_frac)
     train_imdb = KittiMV3D("train", kitti_path=args.data)
     val_imdb = KittiMV3D("val", kitti_path=args.data)
     roidb = prepare_roidb(train_imdb)
