@@ -193,16 +193,16 @@ def main():
     # literal (26.69) and the fused Pallas stem (30.27). The target is
     # throughput frames/s/chip (BASELINE.json), so batch size is free —
     # larger batches amortize the proposal/pool/dispatch fixed costs.
+    # Matrix3 (experiments/results/r3/ab_int8_head*.log) killed the
+    # int8-head/rpn tails (121 fps: boundary requant costs more than the
+    # s8 fc save) and showed the pre-NMS knee is e2e-neutral, so the
+    # probe set is the int8 trunk config that actually wins plus batch
+    # scaling (throughput metric -> batch size is free).
     probes = [
         ("int8-xla trunks + s2d stem, bf16 pool/head",
+         ["--int8", "--conv-impl", "xla", "--stem", "s2d"]),
+        ("int8-xla + s2d, batch 16",
          ["--int8", "--conv-impl", "xla", "--stem", "s2d",
-          "--no-quant-pool"]),
-        ("int8 combo (head/rpn int8, pre-nms 1024)",
-         ["--int8", "--int8-head", "--int8-rpn", "--conv-impl", "xla",
-          "--stem", "s2d", "--no-quant-pool", "--pre-nms", "1024"]),
-        ("int8 combo batch 16",
-         ["--int8", "--int8-head", "--int8-rpn", "--conv-impl", "xla",
-          "--stem", "s2d", "--no-quant-pool", "--pre-nms", "1024",
           "--batch", "16"]),
         ("bf16 batch 16", ["--batch", "16"]),
     ]
