@@ -63,6 +63,32 @@ def _conv_s8_dots(x_q, w_q):
     return acc.reshape(B, H, W, K)
 
 
+def _conv_s8_im2col(x_q, w_q):
+    """3x3 SAME stride-1 s8 conv as ONE (B*H*W, 9*Cin) @ (9*Cin, K) s8
+    matmul.
+
+    The _conv_s8_dots 9-dot form pays up to 9 s32-accumulator HBM
+    round-trips over the full-res intermediate (4 bytes/elem, the
+    dominant traffic at conv2/conv3 resolution). Stacking the shifted
+    inputs along the CONTRACTION dim instead materializes one 9x s8
+    im2col tensor — 9*Cin bytes/pixel, i.e. ~half the bytes of a single
+    s32 accumulator pass at K=Cin — and runs a single dot on the same
+    ~198 TOP/s s8 dot path with one accumulator. Bit-identical to
+    _conv_s8 (integer math, identical (dy, dx, ci) contraction order).
+    """
+    B, H, W, C = x_q.shape
+    kh, kw, _, K = w_q.shape
+    assert (kh, kw) == (3, 3)
+    xp = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    cols = jnp.concatenate(
+        [xp[:, dy:dy + H, dx:dx + W, :]
+         for dy in range(3) for dx in range(3)], axis=-1)
+    return jax.lax.dot_general(
+        cols.reshape(B * H * W, 9 * C), w_q.reshape(9 * C, K),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).reshape(B, H, W, K)
+
+
 def quantize_weights(w):
     """(3,3,cin,cout) f32 -> (int8 weights, (cout,) f32 scales)."""
     w = np.asarray(w, np.float32)
@@ -132,8 +158,9 @@ def _conv_requant(x, p, impl="xla"):
     0-clamp — fewer VPU passes over the full-res intermediate, which is
     where the epilogue cost lives at conv1/conv2 resolution.
     """
-    y32 = _conv_s8(x, p["w_q"]) if impl == "xla" else _conv_s8_dots(
-        x, p["w_q"])
+    conv = {"xla": _conv_s8, "dots": _conv_s8_dots,
+            "im2col": _conv_s8_im2col}[impl]
+    y32 = conv(x, p["w_q"])
     k = (p["s_in"] * p["s_w"] / p["s_out"]).astype(jnp.float32)
     b = (p["bias"] / p["s_out"]).astype(jnp.float32)
     y = y32.astype(jnp.float32) * k + b
@@ -183,8 +210,8 @@ def trunk_apply_int8_from_stem(qtrunk, stem_out_bf16, conv_impl="xla"):
             from mv3d_tf_tpu.ops.conv_s8_pallas import conv_requant_pallas
             x = conv_requant_pallas(x, p, tile_rows=_s8_tile_rows(
                 x.shape[1], W=x.shape[2], C=cin, K=cout))
-        elif conv_impl == "dots":
-            x = _conv_requant(x, p, impl="dots")
+        elif conv_impl in ("dots", "im2col"):
+            x = _conv_requant(x, p, impl=conv_impl)
         else:
             x = _conv_requant(x, p)
         if pool:
@@ -379,8 +406,8 @@ def trunk_apply_int8_from_stem_q(qtrunk, stem_q, conv_impl="xla"):
             from mv3d_tf_tpu.ops.conv_s8_pallas import conv_requant_pallas
             x = conv_requant_pallas(x, p, tile_rows=_s8_tile_rows(
                 x.shape[1], W=x.shape[2], C=cin, K=cout))
-        elif conv_impl == "dots":
-            x = _conv_requant(x, p, impl="dots")
+        elif conv_impl in ("dots", "im2col"):
+            x = _conv_requant(x, p, impl=conv_impl)
         else:
             x = _conv_requant(x, p)
         if pool:

@@ -272,6 +272,29 @@ def test_conv_s8_dots_bit_exact(rng):
                                   np.asarray(Q._conv_s8(x, w)))
 
 
+def test_conv_s8_im2col_bit_exact(rng):
+    """_conv_s8_im2col (one (BHW, 9C) s8 matmul) is bit-identical to the
+    XLA s8 conv — integer arithmetic, contraction order (dy, dx, ci)
+    matches w_q.reshape(9*C, K)."""
+    x = jnp.asarray(rng.randint(-128, 128, (2, 13, 17, 64)).astype(np.int8))
+    w = jnp.asarray(rng.randint(-127, 128, (3, 3, 64, 128)).astype(np.int8))
+    np.testing.assert_array_equal(np.asarray(Q._conv_s8_im2col(x, w)),
+                                  np.asarray(Q._conv_s8(x, w)))
+
+
+def test_trunk_conv_impl_im2col_matches_xla(small_params, rng):
+    """conv_impl="im2col" through the whole int8 trunk equals the XLA
+    path bit-for-bit (same requant epilogue on identical s32 sums)."""
+    params = small_params
+    x = rng.rand(1, 40, 40, 9).astype(np.float32)
+    qtrunk = Q.calibrate_trunk(params, jnp.asarray(x))
+    qt = Q.quantize_trunk(params, qtrunk)
+    stem = Q._bf16_stem(params, jnp.asarray(x))
+    f_xla, _ = Q.trunk_apply_int8_from_stem(qt, stem, conv_impl="xla")
+    f_im, s_im = Q.trunk_apply_int8_from_stem(qt, stem, conv_impl="im2col")
+    np.testing.assert_array_equal(np.asarray(f_xla), np.asarray(f_im))
+
+
 def test_trunk_conv_impl_dots_matches_xla(small_params, rng):
     """conv_impl="dots" through the whole int8 trunk equals the XLA
     path bit-for-bit (same requant epilogue on identical s32 sums)."""

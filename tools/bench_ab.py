@@ -33,7 +33,7 @@ def main():
                     help="also quantize the fusion head (fc6/fc7)")
     ap.add_argument("--int8-rpn", action="store_true",
                     help="also quantize the RPN 3x3 conv")
-    ap.add_argument("--conv-impl", default="xla", choices=["xla", "pallas", "dots"],
+    ap.add_argument("--conv-impl", default="xla", choices=["xla", "pallas", "dots", "im2col"],
                     help="int8 trunk conv implementation")
     ap.add_argument("--train", action="store_true",
                     help="time the train step instead of the detector")

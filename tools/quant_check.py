@@ -31,7 +31,7 @@ def main():
                     choices=[None, "bf16", "s2d", "s2d_fused", "s2d_int8"],
                     help="int8-path stem mode (None = bf16)")
     ap.add_argument("--conv-impl", default="xla",
-                    choices=["xla", "pallas", "dots"])
+                    choices=["xla", "pallas", "dots", "im2col"])
     ap.add_argument("--int8-head", action="store_true",
                     help="also quantize + gate the fc6/fc7 head")
     ap.add_argument("--int8-rpn", action="store_true",
