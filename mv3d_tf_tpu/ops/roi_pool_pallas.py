@@ -21,6 +21,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mv3d_tf_tpu.ops.roi_pool import _c_round
 
+# Fault-probe hook (tools/probe_s8_fault.py): when True, pin the
+# scalar-prefetch operands behind an optimization_barrier before the
+# pallas_call.
+_SCALAR_BARRIER = False
+
 
 def _bin_bounds(rois, pooled, spatial_scale, H, W):
     """Integer-exact bin bounds, identical to ops/roi_pool.py."""
@@ -217,6 +222,9 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
         scratch_shapes=[pltpu.VMEM((W_pad, CT), red_dt)],
     )
 
+    if _SCALAR_BARRIER:
+        bidx, hstart, hend, wstart, wend = jax.lax.optimization_barrier(
+            (bidx, hstart, hend, wstart, wend))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
