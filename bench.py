@@ -185,26 +185,24 @@ def main():
     import subprocess
     import os.path as _osp
     here = _osp.dirname(_osp.abspath(__file__))
-    # r3 probe set (ranked by the r3 stage records in
-    # experiments/results/r3): XLA s8 post-stem trunks measured AT the
-    # s8 ceiling (23.3 ms/batch-8; the Pallas s8 route is a dead end on
-    # this stack — a raw Pallas s8 matmul only reaches 54.9 TOP/s,
-    # microbench_pallas.log) and the s2d XLA stem (21.05) beats both the
-    # literal (26.69) and the fused Pallas stem (30.27). The target is
-    # throughput frames/s/chip (BASELINE.json), so batch size is free —
-    # larger batches amortize the proposal/pool/dispatch fixed costs.
-    # Matrix3 (experiments/results/r3/ab_int8_head*.log) killed the
-    # int8-head/rpn tails (121 fps: boundary requant costs more than the
-    # s8 fc save) and showed the pre-NMS knee is e2e-neutral, so the
-    # probe set is the int8 trunk config that actually wins plus batch
-    # scaling (throughput metric -> batch size is free).
+    # r4 probe set (experiments/results/r4/ab_*.log): the r3 headline's
+    # blocked-NMS + Pallas-pool coupling faults the worker (fault_*.log
+    # bisection) — all configs now run fori NMS (eval.py). With the s8
+    # pool feeding the int8 head DIRECTLY (no boundary dequant/requant —
+    # the very cost that killed the int8 head in r3's bf16-pool A/B),
+    # the int8 fc6/fc7 head WINS: s2d_int8 stem + int8 trunks + s8 pool
+    # + int8 head at batch 16 = 145.2 fps vs 137.0 without the head.
+    # Accuracy gate for these configs: tools/quant_check.py.
     probes = [
-        ("int8-xla trunks + s2d stem, bf16 pool/head",
-         ["--int8", "--conv-impl", "xla", "--stem", "s2d"]),
-        ("int8-xla + s2d, batch 16",
+        ("s2d_int8 stem + int8 trunks + s8 pool + int8 head, b16",
+         ["--int8", "--conv-impl", "xla", "--stem", "s2d_int8",
+          "--int8-head", "--batch", "16"]),
+        ("s2d_int8 stem + int8 trunks + s8 pool, b16",
+         ["--int8", "--conv-impl", "xla", "--stem", "s2d_int8",
+          "--batch", "16"]),
+        ("int8-xla + s2d bf16 stem, s8 pool, b16",
          ["--int8", "--conv-impl", "xla", "--stem", "s2d",
           "--batch", "16"]),
-        ("bf16 batch 16", ["--batch", "16"]),
     ]
     for name, flags in probes:
         # global budget: never let cold-cache probe compiles push the

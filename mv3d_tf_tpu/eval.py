@@ -19,7 +19,7 @@ from mv3d_tf_tpu import geometry as G
 from mv3d_tf_tpu.config import cfg
 from mv3d_tf_tpu.models import mv3d
 from mv3d_tf_tpu.ops.nms import nms_np
-from mv3d_tf_tpu.ops.roi_pool import roi_pool_fast
+from mv3d_tf_tpu.ops.roi_pool import roi_pool, roi_pool_fast
 from mv3d_tf_tpu.proposals import IMG_BOUNDS, IMG_PAD, proposal_layer_3d
 
 PIXEL_MEANS = np.array([95.8814, 98.7743, 93.8549], np.float32)  # config.py:211
@@ -101,7 +101,7 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
                           compute_dtype=None, quant=None,
                           quant_conv_impl="xla", stem_impl=None,
                           quant_rpn=False, rois_per_step=12,
-                          quant_pool=True):
+                          quant_pool=True, nms_impl="auto"):
     """Natively batched multi-frame detector (throughput path).
 
     Trunks/RPN/fusion-head run as ONE batched computation (bigger MXU
@@ -145,10 +145,12 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
             # the bytes); with quant_rpn the RPN head does too, and no
             # dequantized trunk map is materialized at all.
             # quant_pool=False dequantizes the trunk outputs instead and
-            # runs the PROVEN bf16 pool/head tail — the s8 pool measured
-            # no faster anyway (15.53 vs 14.93 ms/batch-8, r3 stage
-            # profile) and s8-pool-in-fused-graph is in the axon
-            # fault class (ab_detect_r3.log crashes).
+            # runs the bf16 pool/head tail — the s8 pool measured no
+            # faster anyway (15.53 vs 14.93 ms/batch-8, r3 stage
+            # profile). The r3-era "s8 pool faults the fused graph"
+            # finding was root-caused in r4 to the blocked-NMS + Pallas
+            # pool coupling (fault_*.log), fixed above by fori NMS; the
+            # s8 pool itself is clean.
             feat_q = (fbv, fim, s_bv, s_im)
             if not quant_pool:
                 c5 = (fbv.astype(jnp.bfloat16) * s_bv).astype(jnp.bfloat16)
@@ -174,11 +176,36 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
                                              dtype=head_dtype)
         prob = mv3d.rpn_probs(rpn_cls)
 
+        # The blocked NMS scan's data-dependent while_loops co-scheduled
+        # with the Pallas pool's scalar-prefetch grid fault the TPU
+        # worker (r4 bisection, experiments/results/r4/fault_*.log —
+        # proposal(blocked)+Pallas-pool faults deterministically in both
+        # dtypes; proposal(fori)+pool is clean). Two safe pairings:
+        #   * P <= 512 (the benchmarked/YAML configs, post-NMS 300):
+        #     fori NMS ("auto" picks it) + the Pallas pool. fori also
+        #     measured faster standalone at this size, and matrix3 showed
+        #     proposal time is overlapped with trunk MXU work anyway.
+        #   * P > 512 (default-config eval, post-NMS 2000): 2000 fori
+        #     steps would dominate, so keep blocked NMS but pair it with
+        #     the XLA pool — the exact combination the train graph has
+        #     run for 50k+ iterations without a fault.
+        #   * nms_impl="blocked_fixed" (r4): the blocked formulation
+        #     with fixed trip counts — no data-dependent while_loop at
+        #     all, so it pairs with the Pallas pool at ANY P and keeps
+        #     blocked speed; exactness is certified in-graph by the
+        #     "nms_converged" output (asserted by the selfcheck/eval
+        #     drivers on the shipping workload).
+        if nms_impl == "blocked_fixed":
+            use_pallas_pool = True
+            frame_nms = "blocked_fixed"
+        else:
+            use_pallas_pool = post_nms_top_n <= 512
+            frame_nms = "auto" if use_pallas_pool else "blocked"
         rois = jax.vmap(
             lambda p, d, c: proposal_layer_3d(
                 p[None], d[None], c, feat_h, feat_w,
                 pre_nms_top_n=pre_nms_top_n, post_nms_top_n=post_nms_top_n,
-                nms_thresh=rpn_nms_thresh, nms_impl="blocked")
+                nms_thresh=rpn_nms_thresh, nms_impl=frame_nms)
         )(prob, rpn_box.astype(jnp.float32), calib)
 
         P = post_nms_top_n
@@ -187,18 +214,22 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
         flat_img = rois["rois_img"].reshape(B * P, 5).at[:, 0:1].set(frame_idx)
 
         # rois_per_step must divide the per-frame roi count P (blocks may
-        # not straddle frames); 12 divides the 300-roi test budget
-        rt = rois_per_step if P % rois_per_step == 0 else (
-            12 if P % 12 == 0 else 1)
+        # not straddle frames): take the largest divisor of P that is
+        # <= the requested block (12 divides the 300-roi test budget;
+        # P=2000 picks 10)
+        rt = max(d for d in range(1, max(rois_per_step, 1) + 1)
+                 if P % d == 0)
         pool_src_bv, pool_src_img = (c5, c5_2) if feat_q is None else (
             feat_q[0], feat_q[1])
-        pooled_bv = roi_pool_fast(pool_src_bv, flat_bv,
-                                  spatial_scale=1.0 / 8,
-                                  chunk=512, rois_per_step=rt)
-        pooled_img = roi_pool_fast(pool_src_img, flat_img,
-                                   spatial_scale=1.0 / 8,
-                                   max_in_h=max_img_h, max_in_w=max_img_w,
-                                   chunk=512, rois_per_step=rt)
+        if use_pallas_pool:
+            _pool = lambda f, r, **kw: roi_pool_fast(  # noqa: E731
+                f, r, chunk=512, rois_per_step=rt, **kw)
+        else:
+            _pool = lambda f, r, **kw: roi_pool(  # noqa: E731
+                f, r, chunk=512, **kw)
+        pooled_bv = _pool(pool_src_bv, flat_bv, spatial_scale=1.0 / 8)
+        pooled_img = _pool(pool_src_img, flat_img, spatial_scale=1.0 / 8,
+                           max_in_h=max_img_h, max_in_w=max_img_w)
         if feat_q is not None:
             _, _, s_bv, s_im = feat_q
             if qstate.get("head") is not None:
@@ -241,7 +272,7 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
 
         valid = rois["valid"].reshape(B * P)
         mask = valid[:, None].astype(jnp.float32)
-        return {
+        out = {
             "scores": (cls_prob * mask).reshape(B, P, -1),
             "boxes_bv": (pred_bv * mask).reshape(B, P, -1),
             "boxes_cnr": (pred_cnr * mask).reshape(B, P, -1),
@@ -249,6 +280,9 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
             "rois_3d": rois["rois_3d"],
             "valid": valid.reshape(B, P),
         }
+        if "nms_converged" in rois:
+            out["nms_converged"] = rois["nms_converged"]   # (B,) bool
+        return out
 
     if quant is None:
         def detect_batch(params, bev, image, calib):

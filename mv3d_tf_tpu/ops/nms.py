@@ -77,6 +77,40 @@ def nms_matrix(boxes, scores, valid, max_out, iou_threshold=0.7):
     return keep_idx * keep_valid, keep_valid
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("max_out", "block", "presorted",
+                                    "rounds"))
+def nms_blocked_fixed(boxes, scores, valid, max_out, iou_threshold=0.7,
+                      block=512, presorted=False, rounds=16):
+    """nms_blocked with the intra-block fixpoint unrolled to a FIXED
+    trip count (lax.fori_loop) instead of a data-dependent while_loop.
+
+    Motivation (r4 fault bisection, experiments/results/r4/fault_*.log):
+    nms_blocked's data-dependent while_loops co-scheduled with the
+    Pallas ROI pool in one jit fault the TPU worker deterministically;
+    fixed-trip-count loops (the fori NMS) in the identical graph are
+    clean. This variant keeps the blocked formulation's speed (one
+    (block x N) strip per scan step instead of max_out sequential
+    argmax steps) while using only fixed-shape, fixed-trip control flow.
+
+    Exactness: the fixpoint finalizes one suppression-chain level per
+    round, so the keep set is the EXACT greedy set whenever every
+    intra-block chain is <= `rounds` deep. Real score-sorted proposal
+    blocks converge in 3-6 rounds (measured, ops/nms.py fixpoint
+    documentation); `rounds=16` gives ~3x margin at negligible cost
+    (one (block,block) mask product per round). The third return value
+    `converged` is an in-graph guarantee check: True iff one more
+    round would change nothing in any block, i.e. the result is
+    certified equal to the greedy oracle. Callers surface it
+    (eval.build_detect_batch_fn -> "nms_converged") and the on-chip
+    selfcheck asserts it on the shipping workload.
+
+    Returns (keep_idx (max_out,), keep_valid (max_out,), converged ()).
+    """
+    return _nms_blocked_core(boxes, scores, valid, max_out, iou_threshold,
+                             block, presorted, rounds)
+
+
 @functools.partial(jax.jit, static_argnames=("max_out", "block", "presorted"))
 def nms_blocked(boxes, scores, valid, max_out, iou_threshold=0.7,
                 block=512, presorted=False):
@@ -97,6 +131,17 @@ def nms_blocked(boxes, scores, valid, max_out, iou_threshold=0.7,
 
     Returns (keep_idx (max_out,), keep_valid (max_out,)) like nms().
     """
+    keep_idx, keep_valid, _ = _nms_blocked_core(
+        boxes, scores, valid, max_out, iou_threshold, block, presorted,
+        rounds=None)
+    return keep_idx, keep_valid
+
+
+def _nms_blocked_core(boxes, scores, valid, max_out, iou_threshold,
+                      block, presorted, rounds):
+    """Shared blocked-NMS body. rounds=None -> exact while_loop fixpoint
+    per block (converged is constant True); rounds=int -> fixed fori_loop
+    trip count + a real convergence certificate (see nms_blocked_fixed)."""
     from mv3d_tf_tpu.ops.iou import bbox_overlaps
 
     boxes = jnp.asarray(boxes, jnp.float32)
@@ -121,7 +166,7 @@ def nms_blocked(boxes, scores, valid, max_out, iou_threshold=0.7,
     upper = i_idx < j_idx
 
     def blk(carry, start):
-        supp = carry
+        supp, okflag = carry
         bb = jax.lax.dynamic_slice(boxes_s, (start, 0), (bs, 4))
         bvalid = (jax.lax.dynamic_slice(valid_s, (start,), (bs,))
                   & ~jax.lax.dynamic_slice(supp, (start,), (bs,)))
@@ -130,16 +175,27 @@ def nms_blocked(boxes, scores, valid, max_out, iou_threshold=0.7,
         sup_bb = ((iou_bb >= iou_threshold) & upper
                   & bvalid[:, None] & bvalid[None, :])
 
-        def body(state):
-            kept, _ = state
+        def step(kept):
             hit = jnp.any(kept[:, None] & sup_bb, axis=0)
-            return bvalid & ~hit, kept
+            return bvalid & ~hit
 
-        def cond(state):
-            kept, prev = state
-            return jnp.any(kept != prev)
+        if rounds is None:
+            def body(state):
+                kept, _ = state
+                return step(kept), kept
 
-        kept_bb, _ = jax.lax.while_loop(cond, body, (bvalid, ~bvalid))
+            def cond(state):
+                kept, prev = state
+                return jnp.any(kept != prev)
+
+            kept_bb, _ = jax.lax.while_loop(cond, body, (bvalid, ~bvalid))
+            ok = jnp.bool_(True)
+        else:
+            kept_bb = jax.lax.fori_loop(
+                0, rounds, lambda _, kept: step(kept), bvalid)
+            # certificate: one more round is a no-op <=> the fixpoint
+            # was reached <=> exact greedy keep set (see docstring)
+            ok = jnp.all(step(kept_bb) == kept_bb)
 
         # kept boxes of this block suppress everything behind them;
         # writes to already-decided positions are never read again
@@ -147,10 +203,11 @@ def nms_blocked(boxes, scores, valid, max_out, iou_threshold=0.7,
         hit_t = jnp.any(kept_bb[:, None] & (iou_bt >= iou_threshold),
                         axis=0)
         supp = supp | hit_t
-        return supp, kept_bb
+        return (supp, okflag & ok), kept_bb
 
     starts = jnp.arange(nblk) * bs
-    _, kept_blocks = jax.lax.scan(blk, jnp.zeros((nblk * bs,), bool), starts)
+    (_, converged), kept_blocks = jax.lax.scan(
+        blk, (jnp.zeros((nblk * bs,), bool), jnp.bool_(True)), starts)
     kept = kept_blocks.reshape(-1)[:n]
 
     # pack the first max_out kept (already score-ordered) into fixed slots
@@ -160,7 +217,7 @@ def nms_blocked(boxes, scores, valid, max_out, iou_threshold=0.7,
                 .at[slot].set(order[:n].astype(jnp.int32))[:max_out])
     n_kept = jnp.minimum(jnp.sum(kept), max_out)
     keep_valid = jnp.arange(max_out) < n_kept
-    return keep_idx * keep_valid, keep_valid
+    return keep_idx * keep_valid, keep_valid, converged
 
 
 @functools.partial(jax.jit, static_argnames=("max_out",))

@@ -63,14 +63,36 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
     R % rois_per_step == 0 and every block's rois pool from the SAME
     frame (callers with P rois/frame pass a divisor of P; the feature
     BlockSpec indexes by the block's first roi)."""
-    batched = feat.ndim == 4
-    if not batched:
-        feat = feat[None]
-    B, H, W, C = feat.shape
     R = rois.shape[0]
     RT = rois_per_step
     if RT > 1 and R % RT != 0:
         RT = 1
+
+    # SMEM budget: the 5 scalar-prefetch arrays cost ~33 i32/roi after
+    # sublane (7->8) and lane (R->ceil128) padding = ~132 B/roi against
+    # the 1 MB SMEM cap. Large roi sets (batch 32 x 300 = 9600, or the
+    # default-config eval's B x 2000) overflow it (r4:
+    # experiments/results/r4/ab_s2dint8_b32.log, the test_net verify
+    # drive) — split them into independent pallas_calls over contiguous
+    # roi chunks. Chunk boundaries land on multiples of RT, preserving
+    # the caller's same-frame-per-block contract; <= 4800 rois (the
+    # headline batch-16 x 300 path) stays a single unchanged call.
+    R_MAX = 4800
+    if R > R_MAX:
+        chunk = (R_MAX // RT) * RT
+        outs = [
+            roi_pool_pallas(feat, rois[i:i + chunk], pooled=pooled,
+                            spatial_scale=spatial_scale,
+                            max_in_h=max_in_h, max_in_w=max_in_w,
+                            interpret=interpret, rois_per_step=RT)
+            for i in range(0, R, chunk)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
+    batched = feat.ndim == 4
+    if not batched:
+        feat = feat[None]
+    B, H, W, C = feat.shape
     dtype = feat.dtype
 
     # Pad the width to a multiple of 8 so every dynamic column-window

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from mv3d_tf_tpu import geometry as G
 from mv3d_tf_tpu.anchors import get_anchor_grid
 from mv3d_tf_tpu.models.mv3d import rpn_fg_scores
-from mv3d_tf_tpu.ops.nms import nms, nms_blocked, top_k_by_score
+from mv3d_tf_tpu.ops.nms import (nms, nms_blocked, nms_blocked_fixed,
+                                 top_k_by_score)
 
 # the reference hardcodes the camera image bounds + padding rather than
 # using the real image size (proposal_layer_tf.py:146-147,343-352)
@@ -92,13 +93,26 @@ def proposal_layer_3d(rpn_cls_prob, rpn_bbox_pred, calib,
     #     (11 ms/batch-of-8 for the whole stage at 6000 candidates).
     #   * large post-NMS N (train: 2000) -> blocked scan `nms_blocked`:
     #     2000 sequential fori steps would dominate the train step; the
-    #     blocked version resolves 512 candidates per scan step and is
-    #     stable inside the large fused train/detect graphs.
-    # nms_impl="blocked" forces the blocked scan regardless of size —
-    # callers embedding this layer in a LARGE fused graph (the batched
-    # detect path) use it for the extra ~3 ms/batch-8; small standalone
-    # programs must keep the fori path (TPU worker crash, see above).
-    if post_nms_top_n <= 512 and nms_impl != "blocked":
+    #     blocked version resolves 512 candidates per scan step and has
+    #     run 50k+ iterations inside the fused batch-1 train graph.
+    # nms_impl="blocked" forces the blocked scan regardless of size.
+    # r4 UPDATE: blocked NMS co-scheduled with the Pallas ROI pool in
+    # one jit faults the TPU worker deterministically (any pool dtype,
+    # barriers don't help — experiments/results/r4/fault_*.log). Safe
+    # pairings, enforced by the callers: fori NMS + Pallas pool (batched
+    # detect at post-NMS <= 512, "auto"), or blocked NMS + XLA pool (the
+    # train graph at post-NMS 2000 — 50k+ iterations clean — and the
+    # batched detect graph when cfg asks for post-NMS > 512).
+    # nms_impl="blocked_fixed" is the blocked formulation with FIXED
+    # trip counts (no data-dependent while_loop — the fault ingredient):
+    # blocked speed, fori-class control flow, plus an in-graph
+    # exactness certificate emitted as "nms_converged".
+    converged = None
+    if nms_impl == "blocked_fixed":
+        keep_idx, keep_valid, converged = nms_blocked_fixed(
+            bv, psc, top_valid, post_nms_top_n, nms_thresh,
+            presorted=True)
+    elif post_nms_top_n <= 512 and nms_impl != "blocked":
         keep_idx, keep_valid = nms(bv, psc, top_valid, post_nms_top_n,
                                    nms_thresh)
     else:
@@ -111,10 +125,13 @@ def proposal_layer_3d(rpn_cls_prob, rpn_bbox_pred, calib,
     out_img = jnp.concatenate([zeros, pimg[keep_idx]], axis=1)
     out_3d = jnp.concatenate([zeros, p3d[keep_idx]], axis=1)
     mask = keep_valid[:, None].astype(jnp.float32)
-    return {
+    out = {
         "rois_bv": out_bv * mask,
         "rois_img": out_img * mask,
         "rois_3d": out_3d * mask,
         "scores": psc[keep_idx] * keep_valid,
         "valid": keep_valid,
     }
+    if converged is not None:
+        out["nms_converged"] = converged
+    return out

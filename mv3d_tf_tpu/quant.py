@@ -347,7 +347,7 @@ def calibrate_pooled_features(params, bev_frames, image_frames, calib,
             lambda pr, d, c: proposal_layer_3d(
                 pr[None], d[None], c, feat_h, feat_w,
                 pre_nms_top_n=6000, post_nms_top_n=post_nms_top_n,
-                nms_thresh=0.7, nms_impl="blocked")
+                nms_thresh=0.7, nms_impl="auto")
         )(prob, rpn_box.astype(jnp.float32), cal)
         P = post_nms_top_n
         fi = jnp.repeat(jnp.arange(B, dtype=jnp.float32), P)[:, None]
@@ -498,8 +498,15 @@ def rpn_head_int8(params, feat_q, s_in, conv_impl="xla"):
                                      C=cin, K=cout),
                                  out_dtype=jnp.float32)
     else:
-        y32 = (_conv_s8_dots(feat_q, w_q) if conv_impl == "dots"
-               else _conv_s8(feat_q, w_q))
+        # route every conv_impl to its own formulation so an
+        # im2col/dots A/B measures a pure implementation (the rpn conv
+        # is a 3x3 SAME stride-1 conv, legal for all three)
+        if conv_impl == "dots":
+            y32 = _conv_s8_dots(feat_q, w_q)
+        elif conv_impl == "im2col":
+            y32 = _conv_s8_im2col(feat_q, w_q)
+        else:
+            y32 = _conv_s8(feat_q, w_q)
         x = jnp.maximum(y32.astype(jnp.float32) * kk + bb, 0.0)
     x = x.astype(jnp.bfloat16)
     cls = vgg.conv2d(x, params["rpn_cls_score"]["weights"],

@@ -171,3 +171,81 @@ def test_nms_blocked_presorted_trailing_invalid(rng):
                            block=32, presorted=True)
     got = list(np.asarray(idx)[np.asarray(val)])
     assert got == exp
+
+
+def test_nms_blocked_fixed_matches_oracle_when_certified(rng):
+    from mv3d_tf_tpu.ops.nms import nms_blocked_fixed
+    for trial in range(3):
+        dets = _rand_dets(rng, 300, span=150.0)
+        for thresh in (0.3, 0.7):
+            exp = nms_np(dets, thresh)
+            idx, val, ok = nms_blocked_fixed(
+                dets[:, :4], dets[:, 4], np.ones(len(dets), bool), 300,
+                thresh, block=64, rounds=64)
+            assert bool(ok), "rounds=block must always certify"
+            got = list(np.asarray(idx)[np.asarray(val)])
+            assert got == exp, f"trial {trial} thresh {thresh}"
+
+
+def test_nms_blocked_fixed_certificate_catches_deep_chains():
+    from mv3d_tf_tpu.ops.nms import nms_blocked_fixed
+    # suppression chain: box i overlaps ONLY box i+1 (step 10, extent 29
+    # -> adjacent IoU = 20/40 = 0.5, distance-2 IoU = 10/50 = 0.2),
+    # scores strictly descending -> greedy keeps the evens; the decision
+    # for box k needs ~k/2 fixpoint rounds. rounds=2 must refuse to
+    # certify; rounds=32 must certify AND match the oracle.
+    n = 24
+    boxes = np.stack([np.arange(n) * 10.0, np.zeros(n),
+                      np.arange(n) * 10.0 + 29.0, np.ones(n) * 50.0],
+                     1).astype(np.float32)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    dets = np.hstack([boxes, scores[:, None]])
+    exp = nms_np(dets, 0.5)
+    assert exp == list(range(0, n, 2))  # sanity: the chain is real
+
+    idx, val, ok = nms_blocked_fixed(boxes, scores, np.ones(n, bool), n,
+                                     0.5, block=n, rounds=2)
+    assert not bool(ok), "2 rounds cannot certify a depth-12 chain"
+    idx, val, ok = nms_blocked_fixed(boxes, scores, np.ones(n, bool), n,
+                                     0.5, block=n, rounds=32)
+    assert bool(ok)
+    assert list(np.asarray(idx)[np.asarray(val)]) == exp
+
+
+def test_nms_blocked_fixed_default_rounds_on_realistic_boxes(rng):
+    from mv3d_tf_tpu.ops.nms import nms_blocked_fixed
+    # the shipping default (rounds=16, block=512) on dense random boxes:
+    # must certify AND match greedy (chains on realistic data are 3-6)
+    dets = _rand_dets(rng, 600, span=150.0)
+    exp = nms_np(dets, 0.7)
+    idx, val, ok = nms_blocked_fixed(dets[:, :4], dets[:, 4],
+                                     np.ones(len(dets), bool), 600, 0.7)
+    assert bool(ok)
+    assert list(np.asarray(idx)[np.asarray(val)]) == exp
+
+
+def test_proposal_layer_blocked_fixed_matches_fori(rng):
+    """proposal_layer_3d(nms_impl='blocked_fixed') must emit the same
+    rois as the fori path plus a certified nms_converged flag."""
+    import jax.numpy as jnp
+    from mv3d_tf_tpu.proposals import proposal_layer_3d
+
+    H = W = 20
+    A = 4
+    prob = rng.rand(1, H, W, 2 * A).astype(np.float32)
+    deltas = (rng.rand(1, H, W, 6 * A).astype(np.float32) - 0.5) * 0.2
+    calib = np.zeros((4, 12), np.float32)
+    calib[0] = [707.0, 0, 601.8, 45.7, 0, 707.0, 183.1, -0.34,
+                0, 0, 1.0, 0.005]
+    calib[2, :9] = np.eye(3, dtype=np.float32).reshape(-1)
+    calib[3] = [0.0002, -0.9999, -0.0106, -0.002, 0.0104, 0.0106,
+                -0.9999, -0.075, 0.9999, 0.0002, 0.0105, -0.272]
+    kw = dict(pre_nms_top_n=256, post_nms_top_n=64, nms_thresh=0.7)
+    ref = proposal_layer_3d(prob, deltas, calib, H, W, **kw)
+    got = proposal_layer_3d(prob, deltas, calib, H, W,
+                            nms_impl="blocked_fixed", **kw)
+    assert bool(got["nms_converged"])
+    for k in ("rois_bv", "rois_img", "rois_3d", "scores", "valid"):
+        np.testing.assert_allclose(np.asarray(got[k], np.float32),
+                                   np.asarray(ref[k], np.float32),
+                                   rtol=1e-6, atol=1e-6)

@@ -90,6 +90,13 @@ def main():
         synthetic.generate(args.data, num_frames=args.frames,
                            cars_per_frame=args.cars, seed=args.seed,
                            train_frac=args.train_frac)
+    else:
+        # generation-time flags have no effect on a reused dataset; a
+        # silently-ignored --train-frac/--frames makes runs
+        # incomparable (ADVICE r3)
+        print("WARNING: reusing existing dataset at {} — "
+              "--train-frac/--frames/--cars/--seed ignored; delete the "
+              "directory to regenerate".format(args.data), flush=True)
     train_imdb = KittiMV3D("train", kitti_path=args.data)
     val_imdb = KittiMV3D("val", kitti_path=args.data)
     roidb = prepare_roidb(train_imdb)

@@ -44,6 +44,12 @@ def main():
                     help="pre-NMS top-K (reference test cfg: 6000; the "
                          "recall knee lives much lower — see "
                          "tools/prenms_knee.py)")
+    ap.add_argument("--nms", default="auto",
+                    choices=["auto", "blocked_fixed"],
+                    help="proposal NMS inside the batched detect graph: "
+                         "auto = fori (P<=512) / blocked+XLA-pool; "
+                         "blocked_fixed = fixed-trip blocked scan + "
+                         "Pallas pool (fault-safe, r4)")
     ap.add_argument("--no-quant-pool", action="store_true",
                     help="int8 graphs: dequantize trunk features and run "
                          "the bf16 pool/head path (measured same pool "
@@ -107,7 +113,8 @@ def main():
                                      quant_rpn=args.int8_rpn,
                                      rois_per_step=args.rois_per_step,
                                      pre_nms_top_n=args.pre_nms,
-                                     quant_pool=not args.no_quant_pool)
+                                     quant_pool=not args.no_quant_pool,
+                                     nms_impl=args.nms)
 
     def barrier(x):
         return float(np.asarray(jax.device_get(x.ravel()[0])))
@@ -127,6 +134,10 @@ def main():
     dt = min(ts)
     log("detect: {:.1f} ms/batch -> {:.2f} frames/s".format(
         dt * 1000, B / dt))
+    if "nms_converged" in out:
+        conv = np.asarray(jax.device_get(out["nms_converged"]))
+        log("nms_converged: {}/{} frames (exact-greedy certificate)"
+            .format(int(conv.sum()), conv.size))
 
 
 def _bench_train(args, jax, jnp, np, params, bev, image, calib,

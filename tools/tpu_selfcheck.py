@@ -176,6 +176,15 @@ def main():
         kb = np.asarray(big["rois_bv"])[:50]
         check("nms fori/blocked keep sets agree", np.allclose(ka, kb,
                                                               atol=1e-4))
+        # (c) fixed-trip blocked scan (r4 fault-safe fast path): must
+        # certify convergence on-chip AND match the fori keep set
+        fx = proposal_layer_3d(prob, deltas, calibd, 75, 75,
+                               pre_nms_top_n=6000, post_nms_top_n=300,
+                               nms_thresh=0.7, nms_impl="blocked_fixed")
+        check("nms blocked_fixed certifies + matches fori",
+              bool(np.asarray(fx["nms_converged"]))
+              and np.allclose(np.asarray(fx["rois_bv"]),
+                              np.asarray(small["rois_bv"]), atol=1e-4))
     except Exception as e:  # noqa: BLE001 — any crash here is the finding
         check("nms construction rules", False, repr(e)[:200])
 
