@@ -187,21 +187,23 @@ def main():
     here = _osp.dirname(_osp.abspath(__file__))
     # r4 probe set (experiments/results/r4/ab_*.log): the r3 headline's
     # blocked-NMS + Pallas-pool coupling faults the worker (fault_*.log
-    # bisection) — all configs now run fori NMS (eval.py). With the s8
-    # pool feeding the int8 head DIRECTLY (no boundary dequant/requant —
-    # the very cost that killed the int8 head in r3's bf16-pool A/B),
-    # the int8 fc6/fc7 head WINS: s2d_int8 stem + int8 trunks + s8 pool
-    # + int8 head at batch 16 = 145.2 fps vs 137.0 without the head.
-    # Accuracy gate for these configs: tools/quant_check.py.
+    # bisection). nms_blocked_fixed (fixed-trip blocked scan, in-graph
+    # exact-greedy certificate) restores blocked speed WITHOUT the fault
+    # ingredient: 147.6 fps at b16 (ab_nmsfixed_b16.log, 16/16
+    # certified). With the s8 pool feeding the int8 head DIRECTLY (no
+    # boundary dequant/requant — the very cost that killed the int8 head
+    # in r3's bf16-pool A/B), the int8 fc6/fc7 head WINS (145.2 with
+    # fori NMS). Accuracy gate for these configs: tools/quant_check.py.
     probes = [
+        ("s2d_int8 + int8 trunks/pool/head/rpn + fixed-NMS, b16",
+         ["--int8", "--conv-impl", "xla", "--stem", "s2d_int8",
+          "--int8-head", "--int8-rpn", "--nms", "blocked_fixed",
+          "--batch", "16"]),
         ("s2d_int8 stem + int8 trunks + s8 pool + int8 head, b16",
          ["--int8", "--conv-impl", "xla", "--stem", "s2d_int8",
           "--int8-head", "--batch", "16"]),
         ("s2d_int8 stem + int8 trunks + s8 pool, b16",
          ["--int8", "--conv-impl", "xla", "--stem", "s2d_int8",
-          "--batch", "16"]),
-        ("int8-xla + s2d bf16 stem, s8 pool, b16",
-         ["--int8", "--conv-impl", "xla", "--stem", "s2d",
           "--batch", "16"]),
     ]
     for name, flags in probes:
