@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--pre-nms", type=int, default=6000,
                     help="pre-NMS top-N for BOTH paths (gate the knee "
                          "config the bench probes run)")
+    ap.add_argument("--nms", default="auto",
+                    choices=["auto", "blocked_fixed"],
+                    help="NMS impl for the INT8 path (gate the exact "
+                         "headline config; the bf16 reference keeps "
+                         "auto — both are exact-greedy)")
     args = ap.parse_args()
 
     import jax
@@ -96,7 +101,8 @@ def main():
                                      stem_impl=args.stem,
                                      quant_rpn=args.int8_rpn,
                                      quant_pool=not args.no_quant_pool,
-                                     pre_nms_top_n=args.pre_nms)
+                                     pre_nms_top_n=args.pre_nms,
+                                     nms_impl=args.nms)
 
     vb_d, vi_d, vc_d = (jax.device_put(vb), jax.device_put(vi),
                         jax.device_put(vc))
