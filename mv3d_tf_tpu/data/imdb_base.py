@@ -134,6 +134,51 @@ class Imdb:
         return {"ar": recalls.mean(), "recalls": recalls,
                 "thresholds": thresholds, "gt_overlaps": gt_overlaps}
 
+    def evaluate_proposals(self, candidate_boxes, ar_thresh=0.5):
+        """Proposal-quality average recall, the SubCNN-path variant
+        (lib/datasets/imdb2.py:161-201 — its `evaluate_proposals`
+        name at :104-113 is an abstract stub; the math lives in its
+        `evaluate_recall`): greedy one-to-one box<->gt matching per
+        frame, then recall over the fine threshold grid
+        ar_thresh:0.001:1.0 and AR = 2 * trapz(recalls, thresholds).
+
+        Returns (ar, gt_overlaps, recalls, thresholds) exactly like the
+        reference. Differences vs evaluate_recall above: fine grid,
+        trapezoidal AR (x2 normalizes the 0.5-length interval), frames
+        with zero candidates contribute NO gt slots (imdb2.py:170-171 —
+        `continue` before the gt count), and no area/limit filtering.
+        """
+        gt_overlaps = np.zeros(0)
+        for i in range(self.num_images):
+            entry = self.roidb[i]
+            gt_inds = np.where(entry["gt_classes"] > 0)[0]
+            gt_boxes = entry["boxes"][gt_inds]
+            boxes = candidate_boxes[i]
+            if boxes.shape[0] == 0:
+                continue
+            overlaps = np.array(bbox_overlaps(
+                boxes.astype(np.float32), gt_boxes.astype(np.float32)))
+            _gt_overlaps = np.zeros(gt_boxes.shape[0])
+            for j in range(gt_boxes.shape[0]):
+                argmax_overlaps = overlaps.argmax(axis=0)
+                max_overlaps = overlaps.max(axis=0)
+                gt_ind = max_overlaps.argmax()
+                box_ind = argmax_overlaps[gt_ind]
+                _gt_overlaps[j] = overlaps[box_ind, gt_ind]
+                overlaps[box_ind, :] = -1
+                overlaps[:, gt_ind] = -1
+            gt_overlaps = np.hstack((gt_overlaps, _gt_overlaps))
+        num_pos = gt_overlaps.size
+        gt_overlaps = np.sort(gt_overlaps)
+        step = 0.001
+        thresholds = np.minimum(np.arange(ar_thresh, 1.0 + step, step),
+                                1.0)
+        recalls = np.array([(gt_overlaps >= t).sum()
+                            / float(max(num_pos, 1))
+                            for t in thresholds])
+        ar = 2 * np.trapz(recalls, thresholds)
+        return ar, gt_overlaps, recalls, thresholds
+
     def create_roidb_from_box_list(self, box_list, gt_roidb):
         """Proposal boxes + gt -> roidb entries with overlap matrices
         (imdb.py:211-238)."""

@@ -9,11 +9,15 @@ design too):
     image pyramid blob over TRAIN.SCALES_BASE, fg/bg ROI sampling, ROI →
     pyramid-level projection by the 224x224 area rule (:228-256), bbox
     label expansion to 4K columns (:258-281);
-  * lib/gt_data_layer/* (GtDataLayer, info_boxes) is NOT rebuilt: its
-    required config keys (TRAIN.KERNEL_SIZE / ASPECTS / SCALE_MAPPING)
-    are commented out of the reference config (lib/fast_rcnn/config.py:
-    51-56), so that path raises AttributeError even in the reference —
-    unrunnable dead code (waiver in PROGRESS.md).
+  * lib/gt_data_layer/roidb.py + minibatch.py — the caffe-era
+    info_boxes data math IS rebuilt below (prepare_gt_roidb,
+    add_info_boxes_regression_targets, get_minibatch_gt): its required
+    config keys (TRAIN.KERNEL_SIZE / ASPECTS / SCALE_MAPPING /
+    ASPECT_HEIGHTS / ASPECT_WIDTHS) are commented out of the reference
+    config (lib/fast_rcnn/config.py:47-56), so they are explicit
+    arguments here with cfg overrides when present. Only the
+    caffe.Layer adapter shell (gt_data_layer/layer.py:20-109) is
+    waived — see PROGRESS.md's waiver ledger.
 
 Unlike the in-graph MV3D path, these produce variable-shape host blobs
 exactly like the reference (the consumer pads to its static bucket).
@@ -248,6 +252,161 @@ def get_minibatch_multiscale(entries, num_classes, rng=None):
         "bbox_inside_weights": weights_blob,
         "bbox_outside_weights": (weights_blob > 0).astype(np.float32),
     }
+
+
+def prepare_gt_roidb(imdb, scales=None, scale_mapping=None,
+                     fg_thresh=None):
+    """Attach per-image `info_boxes` (N, 18) rows — the gt_data_layer
+    roidb math (lib/gt_data_layer/roidb.py:22-92): for each pyramid
+    scale, rate the SubCNN grid boxes (boxes_grid.get_boxes_grid)
+    against the scale-rescaled gt, keep grid cells whose max-overlap
+    class clears FG_THRESH, and record
+
+      (cx, cy, scale_ind, grid box, scale_ind_map, mapped box,
+       gt_label, gt_sublabel[unset->0], 0, regression target)
+
+    columns 0..17 exactly as roidb.py:76-87 lays them out (col 13 is
+    never written there either). scales/scale_mapping default to the
+    cfg.TRAIN.SCALES / SCALE_MAPPING keys when present (the reference
+    ships them commented out, config.py:47-56). No pkl caching here —
+    the repo's roidbs are cheap to recompute and tests patch cfg."""
+    from mv3d_tf_tpu.data.boxes_grid import get_boxes_grid
+    from mv3d_tf_tpu.ops.iou import bbox_overlaps
+    from PIL import Image
+
+    scales = tuple(scales if scales is not None
+                   else getattr(cfg.TRAIN, "SCALES", (1.0,)))
+    scale_mapping = tuple(scale_mapping if scale_mapping is not None
+                          else getattr(cfg.TRAIN, "SCALE_MAPPING",
+                                       tuple(range(len(scales)))))
+    fg_thresh = cfg.TRAIN.FG_THRESH if fg_thresh is None else fg_thresh
+
+    roidb = imdb.roidb
+    for i in range(len(imdb.image_index)):
+        roidb[i]["image"] = imdb.image_path_at(i)
+        boxes = roidb[i]["boxes"]
+        labels = roidb[i]["gt_classes"]
+        info_boxes = np.zeros((0, 18), np.float32)
+        if boxes.shape[0] == 0:
+            roidb[i]["info_boxes"] = info_boxes
+            continue
+        with Image.open(imdb.image_path_at(i)) as im:
+            image_width, image_height = im.size
+        boxes_grid, cx, cy = get_boxes_grid(image_height, image_width)
+        for scale_ind, scale in enumerate(scales):
+            boxes_rescaled = boxes * scale
+            overlaps = np.asarray(bbox_overlaps(
+                boxes_grid.astype(np.float32),
+                boxes_rescaled.astype(np.float32)))
+            max_overlaps = overlaps.max(axis=1)
+            argmax_overlaps = overlaps.argmax(axis=1)
+            max_classes = labels[argmax_overlaps]
+            fg_inds = []
+            for k in range(1, imdb.num_classes):
+                fg_inds.extend(np.where((max_classes == k)
+                                        & (max_overlaps >= fg_thresh))[0])
+            if len(fg_inds) > 0:
+                fg_inds = np.asarray(fg_inds, np.int64)
+                gt_inds = argmax_overlaps[fg_inds]
+                gt_targets = compute_bbox_targets(
+                    boxes_grid[fg_inds].astype(np.float64),
+                    boxes_rescaled[gt_inds].astype(np.float64))
+                scale_ind_map = scale_mapping[scale_ind]
+                scale_map = scales[scale_ind_map]
+                info_box = np.zeros((len(fg_inds), 18), np.float32)
+                info_box[:, 0] = cx[fg_inds]
+                info_box[:, 1] = cy[fg_inds]
+                info_box[:, 2] = scale_ind
+                info_box[:, 3:7] = boxes_grid[fg_inds]
+                info_box[:, 7] = scale_ind_map
+                info_box[:, 8:12] = boxes_grid[fg_inds] * scale_map / scale
+                info_box[:, 12] = labels[gt_inds]
+                info_box[:, 14:] = gt_targets
+                info_boxes = np.vstack((info_boxes, info_box))
+        roidb[i]["info_boxes"] = info_boxes
+    return roidb
+
+
+def add_info_boxes_regression_targets(roidb):
+    """Normalize info_boxes regression targets (cols 14:18) by per-class
+    (col 12) means/stds — gt_data_layer/roidb.py:96-131 incl. its
+    quirks: E(x^2)-E(x)^2 std, and the zero-std guard checks ONLY
+    coordinate 0 before dividing the whole row (:127-128). Returns
+    (means.ravel(), stds.ravel()) for prediction unnormalization."""
+    assert len(roidb) > 0 and "info_boxes" in roidb[0], \
+        "call prepare_gt_roidb first"
+    num_classes = roidb[0]["gt_overlaps"].shape[1]
+    class_counts = np.zeros((num_classes, 1)) + cfg.EPS
+    sums = np.zeros((num_classes, 4))
+    squared_sums = np.zeros((num_classes, 4))
+    for entry in roidb:
+        t = entry["info_boxes"]
+        for k in range(1, num_classes):
+            idx = np.where(t[:, 12] == k)[0]
+            if idx.size:
+                class_counts[k] += idx.size
+                sums[k] += t[idx, 14:].sum(axis=0)
+                squared_sums[k] += (t[idx, 14:] ** 2).sum(axis=0)
+    means = sums / class_counts
+    stds = np.sqrt(np.maximum(squared_sums / class_counts - means ** 2,
+                              0.0))
+    for entry in roidb:
+        t = entry["info_boxes"]
+        for k in range(1, num_classes):
+            idx = np.where(t[:, 12] == k)[0]
+            t[idx, 14:] -= means[k]
+            if stds[k, 0] != 0:            # coord-0-only guard, :127
+                t[idx, 14:] /= stds[k]
+    return means.ravel(), stds.ravel()
+
+
+def get_minibatch_gt(entries, scales=None, scale_mapping=None,
+                     aspects=None, aspect_heights=None,
+                     aspect_widths=None):
+    """gt_data_layer minibatch (lib/gt_data_layer/minibatch.py:16-57):
+    image-pyramid blob + info_boxes blob (batch index shifted into cols
+    2 and 7 by image slot * num_scale) + the flat parameters blob
+    [num_scale, num_aspect, SCALES, SCALE_MAPPING, ASPECT_HEIGHTS,
+    ASPECT_WIDTHS]. The reference shifts the roidb's info_boxes rows IN
+    PLACE (minibatch.py:33-35 — indices compound across epochs); here
+    the rows are copied first, deliberately."""
+    scales = tuple(scales if scales is not None
+                   else getattr(cfg.TRAIN, "SCALES", (1.0,)))
+    scale_mapping = tuple(scale_mapping if scale_mapping is not None
+                          else getattr(cfg.TRAIN, "SCALE_MAPPING",
+                                       tuple(range(len(scales)))))
+    aspects = tuple(aspects if aspects is not None
+                    else getattr(cfg.TRAIN, "ASPECTS",
+                                 (1, 0.75, 0.5, 0.25)))
+    aspect_heights = tuple(
+        aspect_heights if aspect_heights is not None
+        else getattr(cfg.TRAIN, "ASPECT_HEIGHTS", (1.0,) * len(aspects)))
+    aspect_widths = tuple(
+        aspect_widths if aspect_widths is not None
+        else getattr(cfg.TRAIN, "ASPECT_WIDTHS", (1.0,) * len(aspects)))
+
+    im_blob, _ = get_image_blob_multiscale(entries)
+    num_scale = len(scales)
+    info_boxes_blob = np.zeros((0, 18), np.float32)
+    for i, entry in enumerate(entries):
+        info_boxes = entry["info_boxes"].copy()
+        info_boxes[:, 2] += i * num_scale
+        info_boxes[:, 7] += i * num_scale
+        info_boxes_blob = np.vstack((info_boxes_blob, info_boxes))
+
+    num_aspect = len(aspects)
+    num = 2 + 2 * num_scale + 2 * num_aspect
+    parameters_blob = np.zeros((num,), np.float32)
+    parameters_blob[0] = num_scale
+    parameters_blob[1] = num_aspect
+    parameters_blob[2:2 + num_scale] = scales
+    parameters_blob[2 + num_scale:2 + 2 * num_scale] = scale_mapping
+    parameters_blob[2 + 2 * num_scale:
+                    2 + 2 * num_scale + num_aspect] = aspect_heights
+    parameters_blob[2 + 2 * num_scale + num_aspect:] = aspect_widths
+
+    return {"data": im_blob, "info_boxes": info_boxes_blob,
+            "parameters": parameters_blob}
 
 
 def pad_minibatch_multiscale(blobs, bucket_hw, rois_per_batch=None):

@@ -116,6 +116,12 @@ def build_detect_batch_fn(feat_h=75, feat_w=75, pre_nms_top_n=6000,
 
     Returns detect_batch(params, bev (B,...), image (B,...),
     calib (B,4,12)) -> dict with leading dims (B, P).
+
+    With nms_impl="blocked_fixed" the output carries "nms_converged"
+    (B,) bool — the in-graph exact-greedy certificate. Callers MUST
+    check it before trusting outputs on an accuracy path (solver.test_net
+    raises on failure; bench_ab exits non-zero and the probe is
+    discarded).
     """
     max_img_h = int(IMG_BOUNDS[0] + 2 * IMG_PAD + 10)
     max_img_w = int(IMG_BOUNDS[1] + 2 * IMG_PAD + 10)

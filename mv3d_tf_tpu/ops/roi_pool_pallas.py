@@ -26,6 +26,10 @@ from mv3d_tf_tpu.ops.roi_pool import _c_round
 # pallas_call.
 _SCALAR_BARRIER = False
 
+# SMEM scalar-prefetch budget in rois per pallas_call; module-level so
+# tests can shrink it to force the chunked path (ADVICE r4).
+_R_MAX = 4800
+
 
 def _bin_bounds(rois, pooled, spatial_scale, H, W):
     """Integer-exact bin bounds, identical to ops/roi_pool.py."""
@@ -77,9 +81,13 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
     # roi chunks. Chunk boundaries land on multiples of RT, preserving
     # the caller's same-frame-per-block contract; <= 4800 rois (the
     # headline batch-16 x 300 path) stays a single unchanged call.
-    R_MAX = 4800
-    if R > R_MAX:
-        chunk = (R_MAX // RT) * RT
+    R_MAX = _R_MAX
+    # max(..., RT) guards RT > R_MAX (chunk of 0 would make the range
+    # below empty/ValueError); chunk < R guards the oversized-RT case
+    # against infinite recursion — one RT-sized chunk still respects the
+    # same-frame-per-block contract (ADVICE r4)
+    chunk = max((R_MAX // RT) * RT, RT)
+    if R > R_MAX and chunk < R:
         outs = [
             roi_pool_pallas(feat, rois[i:i + chunk], pooled=pooled,
                             spatial_scale=spatial_scale,

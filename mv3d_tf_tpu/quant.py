@@ -347,7 +347,15 @@ def calibrate_pooled_features(params, bev_frames, image_frames, calib,
             lambda pr, d, c: proposal_layer_3d(
                 pr[None], d[None], c, feat_h, feat_w,
                 pre_nms_top_n=6000, post_nms_top_n=post_nms_top_n,
-                nms_thresh=0.7, nms_impl="auto")
+                nms_thresh=0.7,
+                # mirror eval.py's safe-pairing rule: this jit also runs
+                # the Pallas pool, and "auto" would pick blocked NMS
+                # (data-dependent while_loop) above 512 — the exact
+                # pairing the r4 bisection showed faults the TPU worker.
+                # blocked_fixed keeps blocked speed with fori-class
+                # control flow at any P (ADVICE r4).
+                nms_impl=("blocked_fixed" if post_nms_top_n > 512
+                          else "auto"))
         )(prob, rpn_box.astype(jnp.float32), cal)
         P = post_nms_top_n
         fi = jnp.repeat(jnp.arange(B, dtype=jnp.float32), P)[:, None]

@@ -246,6 +246,16 @@ def test_net(params, imdb, weights_filename="default", max_per_image=300,
 
     def drain(chunk, det):
         """Per-class NMS + slot assignment for one finished batch."""
+        if "nms_converged" in det:
+            # blocked_fixed NMS path: the in-graph exact-greedy
+            # certificate MUST hold before its outputs are trusted on
+            # the accuracy path (ADVICE r4; cf. ops/nms.py)
+            conv = np.asarray(det["nms_converged"])[:len(chunk)]
+            if not conv.all():
+                raise RuntimeError(
+                    "blocked_fixed NMS certificate failed on frames "
+                    "{} of batch {}".format(
+                        [chunk[i] for i in np.where(~conv)[0]], chunk))
         for bi, i in enumerate(chunk):
             one = {key: np.asarray(det[key][bi])
                    for key in ("scores", "boxes_bv", "boxes_cnr",

@@ -42,6 +42,33 @@ def test_evaluate_recall_perfect():
     assert res["recalls"][0] == 1.0      # IoU .5 recall with near-gt boxes
 
 
+def test_evaluate_proposals_ar():
+    """imdb2.py:161-201 variant: greedy matching, fine grid,
+    AR = 2*trapz. Perfect proposals -> AR 1; an empty-candidate frame
+    contributes no gt slots (imdb2.py:170-171)."""
+    gt = np.array([[10, 10, 50, 50], [60, 60, 90, 90]], np.float32)
+    roidb = [{"boxes": gt.copy(), "gt_classes": np.array([1, 1]),
+              "flipped": False},
+             {"boxes": gt.copy(), "gt_classes": np.array([1, 1]),
+              "flipped": False}]
+    db = _FakeImdb(roidb, widths=[100, 100])
+    cands = [gt.copy(), np.zeros((0, 4), np.float32)]
+    ar, gt_ov, recalls, thresholds = db.evaluate_proposals(cands)
+    assert gt_ov.shape == (2,)            # frame 2 skipped entirely
+    np.testing.assert_allclose(gt_ov, 1.0)
+    np.testing.assert_allclose(recalls, 1.0)
+    np.testing.assert_allclose(ar, 2 * np.trapz(recalls, thresholds))
+    assert abs(ar - 1.0) < 0.01
+    # one proposal at IoU just over 0.5 for one gt, none for the other:
+    # greedy matching must not double-assign
+    half = np.array([[10, 10, 50, 30]], np.float32)    # IoU ~0.5 w/ gt0
+    ar2, gt_ov2, recalls2, _ = db.evaluate_proposals(
+        [half, np.zeros((0, 4), np.float32)])
+    assert gt_ov2.shape == (2,)
+    assert (gt_ov2 > 0).sum() == 1
+    assert recalls2[-1] == 0.0
+
+
 def test_create_roidb_from_box_list():
     gt_roidb = [{"boxes": np.array([[0, 0, 10, 10]], np.float32),
                  "gt_classes": np.array([1])}]

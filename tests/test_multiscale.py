@@ -148,3 +148,118 @@ def test_solver_dispatch_fast_rcnn(roidb_2im, monkeypatch, tmp_path):
     solver.train_net_2d(TinyImdb(), roidb_2im, out, max_iters=2,
                         bucket_hw=(96, 96), log=lambda *a: None)
     assert glob.glob(out + "/*iter_2*"), "no snapshot written"
+
+
+class _FakeImdb:
+    """Minimal imdb shim for the gt_data_layer roidb math."""
+
+    def __init__(self, roidb):
+        self._roidb = roidb
+        self.image_index = list(range(len(roidb)))
+        self.num_classes = 2
+
+    @property
+    def roidb(self):
+        return self._roidb
+
+    def image_path_at(self, i):
+        return self._roidb[i]["image"]
+
+
+def test_prepare_gt_roidb_info_boxes(roidb_2im):
+    """gt_data_layer/roidb.py:22-92 info_boxes layout + math: grid cells
+    clearing FG_THRESH per scale, columns laid out exactly, targets =
+    scale-invariant deltas vs the assigned rescaled gt."""
+    # keep only the gt rows — the gt data layer rates the GRID, not
+    # proposals
+    for e in roidb_2im:
+        e["boxes"] = e["boxes"][:2]
+        e["gt_classes"] = e["gt_classes"][:2]
+        e["gt_overlaps"] = np.eye(2, dtype=np.float32)[:, :2]
+    imdb = _FakeImdb(roidb_2im)
+    scales = (1.0, 2.0)
+    ms.prepare_gt_roidb(imdb, scales=scales, scale_mapping=(1, 1),
+                        fg_thresh=0.3)
+    from mv3d_tf_tpu.data.boxes_grid import get_boxes_grid
+    from mv3d_tf_tpu.ops.iou import bbox_overlaps
+    for e in roidb_2im:
+        ib = e["info_boxes"]
+        assert ib.shape[1] == 18 and ib.shape[0] > 0
+        assert set(np.unique(ib[:, 2])) <= {0.0, 1.0}   # scale_ind
+        assert (ib[:, 7] == 1).all()                    # scale_ind_map
+        assert (ib[:, 12] == 1).all() and (ib[:, 13] == 0).all()
+        # mapped box = grid box * scale_map / scale, per row
+        scale = np.asarray(scales)[ib[:, 2].astype(int)]
+        np.testing.assert_allclose(ib[:, 8:12],
+                                   ib[:, 3:7] * (2.0 / scale[:, None]),
+                                   rtol=1e-6)
+        # independent recomputation of one scale's fg selection
+        grid, cx, cy = get_boxes_grid(60, 80)
+        ov = np.asarray(bbox_overlaps(grid.astype(np.float32),
+                                      e["boxes"].astype(np.float32)))
+        fg = np.where((e["gt_classes"][ov.argmax(1)] == 1)
+                      & (ov.max(1) >= 0.3))[0]
+        rows0 = ib[ib[:, 2] == 0]
+        assert rows0.shape[0] == len(fg)
+        np.testing.assert_allclose(rows0[:, 0], cx[fg], rtol=1e-6)
+        np.testing.assert_allclose(rows0[:, 3:7], grid[fg], rtol=1e-6)
+        exp_t = ms.compute_bbox_targets(
+            grid[fg].astype(np.float64),
+            e["boxes"][ov.argmax(1)[fg]].astype(np.float64))
+        np.testing.assert_allclose(rows0[:, 14:], exp_t, atol=1e-6)
+
+
+def test_info_boxes_regression_normalization(roidb_2im):
+    for e in roidb_2im:
+        e["boxes"] = e["boxes"][:2]
+        e["gt_classes"] = e["gt_classes"][:2]
+        e["gt_overlaps"] = np.eye(2, dtype=np.float32)[:, :2]
+    imdb = _FakeImdb(roidb_2im)
+    ms.prepare_gt_roidb(imdb, scales=(1.0, 2.0), scale_mapping=(0, 1),
+                        fg_thresh=0.3)
+    means, stds = ms.add_info_boxes_regression_targets(roidb_2im)
+    assert means.shape == (8,) and stds.shape == (8,)
+    rows = np.vstack([e["info_boxes"] for e in roidb_2im])
+    fg = rows[rows[:, 12] == 1, 14:]
+    np.testing.assert_allclose(fg.mean(axis=0), 0.0, atol=1e-4)
+    # std ~1 only where the reference's coord-0 guard divided
+    if stds[4] != 0:
+        np.testing.assert_allclose(fg.std(axis=0)[stds[4:] > 1e-9], 1.0,
+                                   atol=1e-3)
+
+
+def test_get_minibatch_gt_blobs(roidb_2im, monkeypatch):
+    monkeypatch.setattr(cfg.TRAIN, "SCALES_BASE", (1.0, 2.0))
+    for e in roidb_2im:
+        e["boxes"] = e["boxes"][:2]
+        e["gt_classes"] = e["gt_classes"][:2]
+        e["gt_overlaps"] = np.eye(2, dtype=np.float32)[:, :2]
+    imdb = _FakeImdb(roidb_2im)
+    scales = (1.0, 2.0)
+    ms.prepare_gt_roidb(imdb, scales=scales, scale_mapping=(0, 1),
+                        fg_thresh=0.3)
+    before = [e["info_boxes"].copy() for e in roidb_2im]
+    blobs = ms.get_minibatch_gt(roidb_2im, scales=scales,
+                                scale_mapping=(0, 1),
+                                aspects=(1, 0.5),
+                                aspect_heights=(1.0, 2.0),
+                                aspect_widths=(1.0, 0.5))
+    # pyramid blob: 2 images x 2 base scales
+    assert blobs["data"].shape[0] == 4
+    ib = blobs["info_boxes"]
+    n0 = len(before[0])
+    # image 1's rows shifted by 1 * num_scale in cols 2 and 7
+    np.testing.assert_allclose(ib[n0:, 2] - before[1][:, 2], 2.0)
+    np.testing.assert_allclose(ib[n0:, 7] - before[1][:, 7], 2.0)
+    # the roidb itself is NOT mutated (the reference's in-place shift
+    # compounds across epochs — deliberately fixed here)
+    for e, b in zip(roidb_2im, before):
+        np.testing.assert_array_equal(e["info_boxes"], b)
+    # parameters blob layout (minibatch.py:39-48)
+    p = blobs["parameters"]
+    assert p.shape == (2 + 2 * 2 + 2 * 2,)
+    np.testing.assert_allclose(p[:2], [2, 2])
+    np.testing.assert_allclose(p[2:4], scales)
+    np.testing.assert_allclose(p[4:6], [0, 1])
+    np.testing.assert_allclose(p[6:8], [1.0, 2.0])
+    np.testing.assert_allclose(p[8:10], [1.0, 0.5])

@@ -139,6 +139,34 @@ def test_roi_pool_chunked_matches(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_pallas_smem_chunking_interpret(rng, monkeypatch):
+    """The R > _R_MAX SMEM-chunked path (r4 batch-32 fix) is bit-exact,
+    including a chunk boundary mid-frame and RT > _R_MAX (ADVICE r4:
+    chunk must never be 0)."""
+    from mv3d_tf_tpu.ops import roi_pool_pallas as RPP
+    feats = rng.randn(2, 20, 24, 8).astype(np.float32)
+    P = 12  # rois per frame; 24 total
+    rois = _rand_rois(rng, 2 * P, 160, 192)
+    for f in range(2):
+        rois[f * P:(f + 1) * P, 0] = f
+    base = np.asarray(RPP.roi_pool_pallas(feats, rois,
+                                          spatial_scale=1 / 8,
+                                          interpret=True))
+    # force chunking: _R_MAX=9 with RT=3 -> chunk=9, boundaries at
+    # 9/18 land MID-frame (frame 0 has 12 rois)
+    monkeypatch.setattr(RPP, "_R_MAX", 9)
+    got = np.asarray(RPP.roi_pool_pallas(feats, rois,
+                                         spatial_scale=1 / 8,
+                                         interpret=True, rois_per_step=3))
+    np.testing.assert_array_equal(got, base)
+    # RT > _R_MAX: chunk floors to 0 without the guard -> must still run
+    monkeypatch.setattr(RPP, "_R_MAX", 2)
+    got2 = np.asarray(RPP.roi_pool_pallas(feats, rois,
+                                          spatial_scale=1 / 8,
+                                          interpret=True, rois_per_step=4))
+    np.testing.assert_array_equal(got2, base)
+
+
 def test_custom_vjp_grad_matches_xla(rng):
     """Pallas equality-replay backward == XLA autodiff backward on
     distinct-valued features (interpret mode; ties absent by

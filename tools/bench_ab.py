@@ -138,6 +138,14 @@ def main():
         conv = np.asarray(jax.device_get(out["nms_converged"]))
         log("nms_converged: {}/{} frames (exact-greedy certificate)"
             .format(int(conv.sum()), conv.size))
+        if int(conv.sum()) < conv.size:
+            # A non-converged frame means blocked_fixed's fixed trip
+            # count did not reach the exact greedy keep set — the fps
+            # number above must not ship. Non-zero exit makes bench.py
+            # discard this probe (ADVICE r4).
+            log("WARNING: NMS certificate FAILED on {} frame(s); "
+                "result discarded".format(conv.size - int(conv.sum())))
+            sys.exit(3)
 
 
 def _bench_train(args, jax, jnp, np, params, bev, image, calib,
