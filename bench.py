@@ -185,25 +185,26 @@ def main():
     import subprocess
     import os.path as _osp
     here = _osp.dirname(_osp.abspath(__file__))
-    # r4 probe set (experiments/results/r4/ab_*.log): the r3 headline's
-    # blocked-NMS + Pallas-pool coupling faults the worker (fault_*.log
-    # bisection). nms_blocked_fixed (fixed-trip blocked scan, in-graph
-    # exact-greedy certificate) restores blocked speed WITHOUT the fault
-    # ingredient: 147.6 fps at b16 (ab_nmsfixed_b16.log, 16/16
-    # certified). With the s8 pool feeding the int8 head DIRECTLY (no
-    # boundary dequant/requant — the very cost that killed the int8 head
-    # in r3's bf16-pool A/B), the int8 fc6/fc7 head WINS (145.2 with
-    # fori NMS). Accuracy gate for these configs: tools/quant_check.py.
+    # r5 probe set: the r4 headline config (all-int8 + blocked_fixed
+    # NMS, ab_nmsfixed_b16.log 147.6 fps) PLUS the pre-NMS 6000->1024
+    # knee, which is worth +20 fps under blocked_fixed (the blocked
+    # sweep scales with nblk: ab_nmsfixed_knee1024_b16.log, 167.9 fps,
+    # 16/16 certificates). Accuracy gate for the exact knee config:
+    # tools/quant_check.py --pre-nms 1024 --nms blocked_fixed
+    # (keep-set agreement + AP battery on the trained snapshot:
+    # experiments/results/r4/prenms_knee_trained.log + the r5 gate log).
+    # The list is trimmed to 2 configs (VERDICT r4 #9: probe-set growth
+    # was the main bench cold-start cost); a probe that crashes or
+    # fails its NMS certificate exits non-zero and is discarded.
     probes = [
+        ("s2d_int8 + int8 trunks/pool/head/rpn + fixed-NMS + knee1024, "
+         "b16",
+         ["--int8", "--conv-impl", "xla", "--stem", "s2d_int8",
+          "--int8-head", "--int8-rpn", "--nms", "blocked_fixed",
+          "--pre-nms", "1024", "--batch", "16"]),
         ("s2d_int8 + int8 trunks/pool/head/rpn + fixed-NMS, b16",
          ["--int8", "--conv-impl", "xla", "--stem", "s2d_int8",
           "--int8-head", "--int8-rpn", "--nms", "blocked_fixed",
-          "--batch", "16"]),
-        ("s2d_int8 stem + int8 trunks + s8 pool + int8 head, b16",
-         ["--int8", "--conv-impl", "xla", "--stem", "s2d_int8",
-          "--int8-head", "--batch", "16"]),
-        ("s2d_int8 stem + int8 trunks + s8 pool, b16",
-         ["--int8", "--conv-impl", "xla", "--stem", "s2d_int8",
           "--batch", "16"]),
     ]
     for name, flags in probes:

@@ -42,6 +42,13 @@ __C.TRAIN.LEARNING_RATE = 0.001
 __C.TRAIN.MOMENTUM = 0.9
 __C.TRAIN.GAMMA = 0.1
 __C.TRAIN.STEPSIZE = 50000
+# Quality-mode opt-in: staircase-decay the MV3D Adam lr by GAMMA every
+# STEPSIZE iters (lr = 1e-5 * GAMMA^(it // STEPSIZE)). Parity mode keeps
+# the reference's constant hardcoded 1e-5 (train_mv.py:144); the decay
+# keys above exist in the reference but only its legacy 2D SGD path ever
+# read them (train.py:103-199). r4's quality run showed 3d AP peaking at
+# 15k then collapsing under constant lr — decay stabilizes it.
+__C.TRAIN.LR_DECAY = False
 __C.TRAIN.DISPLAY = 10
 __C.IS_MULTISCALE = False
 # SubCNN-lineage multiscale keys: the reference's kitti_rcnn.yml sets

@@ -158,6 +158,14 @@ def _conv_requant(x, p, impl="xla"):
     0-clamp — fewer VPU passes over the full-res intermediate, which is
     where the epilogue cost lives at conv1/conv2 resolution.
     """
+    if impl == "xla" and jax.default_backend() == "cpu":
+        # XLA:CPU's s8 conv lowering is ~400x slower than its s8
+        # dot_general (4.9 s vs 0.01 s per 40x40x256 conv, measured) —
+        # the CPU test tier was spending minutes per int8 detector
+        # execution. The formulations are bit-identical (integer math,
+        # tests/test_quant.py equality tests), so the CPU path rides
+        # im2col; TPU keeps the true lax.conv lowering.
+        impl = "im2col"
     conv = {"xla": _conv_s8, "dots": _conv_s8_dots,
             "im2col": _conv_s8_im2col}[impl]
     y32 = conv(x, p["w_q"])
@@ -190,6 +198,36 @@ def trunk_apply_int8(qtrunk, x, input_scale=None):
     return x, qtrunk[vgg.VGG_LAYERS[-1][0]]["s_out"]
 
 
+# Layers the "hybrid" conv impl routes to the fused Pallas kernel: the
+# big-feature-map half of the trunk (conv2 at stride 2, conv3 at stride
+# 4), where the r4 trace attributes the bulk of the ~29 ms/b16
+# requant-boundary class (each XLA s8 conv materializes its s32
+# accumulator to HBM and a separate clamp_convert fusion re-reads it —
+# ~9 bytes/elem of boundary traffic vs the kernel's fused in-VMEM
+# epilogue writing 1). conv4/conv5 (stride 8, 16x fewer pixels) stay on
+# XLA, whose raw s8 rate (210 TOP/s) beats the kernel's and whose
+# boundary cost is proportionally small — the r4 all-pallas A/B lost 21
+# fps precisely because the kernel's small-M 75x75 grid steps run far
+# below its large-shape rate (PERF.md r4 lever outcomes).
+_HYBRID_PALLAS_LAYERS = ("conv2_1", "conv2_2",
+                         "conv3_1", "conv3_2", "conv3_3")
+
+
+def _conv_requant_pallas_padded(x, p, pad_to=128):
+    """conv_requant_pallas for layers whose input channel count is below
+    the s8 MXU lane tile (conv2_1: 64): zero-pad x and the weight's
+    input-channel rows to 128 — bit-exact (zero taps contribute zero to
+    the s32 accumulator) at 2x the (boundary-dominated) layer's MACs."""
+    from mv3d_tf_tpu.ops.conv_s8_pallas import conv_requant_pallas
+    cin = x.shape[-1]
+    pc = pad_to - cin
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pc)))
+    pp = dict(p)
+    pp["w_q"] = jnp.pad(p["w_q"], ((0, 0), (0, 0), (0, pc), (0, 0)))
+    return conv_requant_pallas(xp, pp, tile_rows=_s8_tile_rows(
+        xp.shape[1], W=xp.shape[2], C=pad_to, K=p["w_q"].shape[3]))
+
+
 def trunk_apply_int8_from_stem(qtrunk, stem_out_bf16, conv_impl="xla"):
     """Continue the int8 trunk from a bf16 stem output (conv1_2+pool1
     already applied): quantize with conv1_2's output scale and run
@@ -197,19 +235,35 @@ def trunk_apply_int8_from_stem(qtrunk, stem_out_bf16, conv_impl="xla"):
 
     conv_impl="pallas" runs every conv whose channel dims are multiples
     of the s8 MXU tile (128 — all but conv2_1's 64-channel input)
-    through the fused Pallas kernel (ops/conv_s8_pallas.py); "xla" is
-    the lax.conv path. Both compute the identical _conv_requant math.
+    through the fused Pallas kernel (ops/conv_s8_pallas.py); "hybrid"
+    routes only _HYBRID_PALLAS_LAYERS (incl. a channel-padded conv2_1)
+    to the kernel and keeps conv4/conv5 on XLA; "xla" is the lax.conv
+    path. All compute the identical _conv_requant math bit-for-bit.
     """
     s = qtrunk["conv1_2"]["s_out"]
     x = jnp.clip(jnp.round(stem_out_bf16.astype(jnp.float32) / s),
                  0, 127).astype(jnp.int8)
+    return _trunk_tail_int8(qtrunk, x, conv_impl)
+
+
+def _trunk_tail_int8(qtrunk, x, conv_impl):
+    """conv2_1 .. conv5_3 on an s8 input — the shared tail behind both
+    from-stem entry points; see trunk_apply_int8_from_stem for the
+    conv_impl vocabulary."""
     for name, _, pool in vgg.VGG_LAYERS[2:]:
         p = qtrunk[name]
         cin, cout = p["w_q"].shape[2], p["w_q"].shape[3]
-        if conv_impl == "pallas" and cin % 128 == 0 and cout % 128 == 0:
-            from mv3d_tf_tpu.ops.conv_s8_pallas import conv_requant_pallas
-            x = conv_requant_pallas(x, p, tile_rows=_s8_tile_rows(
-                x.shape[1], W=x.shape[2], C=cin, K=cout))
+        use_pallas = (
+            (conv_impl == "pallas" and cin % 128 == 0 and cout % 128 == 0)
+            or (conv_impl == "hybrid" and name in _HYBRID_PALLAS_LAYERS))
+        if use_pallas:
+            if cin % 128 != 0:
+                x = _conv_requant_pallas_padded(x, p)
+            else:
+                from mv3d_tf_tpu.ops.conv_s8_pallas import \
+                    conv_requant_pallas
+                x = conv_requant_pallas(x, p, tile_rows=_s8_tile_rows(
+                    x.shape[1], W=x.shape[2], C=cin, K=cout))
         elif conv_impl in ("dots", "im2col"):
             x = _conv_requant(x, p, impl=conv_impl)
         else:
@@ -406,21 +460,7 @@ def trunk_apply_int8_from_stem_q(qtrunk, stem_q, conv_impl="xla"):
     """Continue the int8 trunk from an ALREADY-QUANTIZED stem output
     (int8 at conv1_2's output scale — the s2d int8 stem emits this
     directly, no bf16 round-trip)."""
-    x = stem_q
-    for name, _, pool in vgg.VGG_LAYERS[2:]:
-        p = qtrunk[name]
-        cin, cout = p["w_q"].shape[2], p["w_q"].shape[3]
-        if conv_impl == "pallas" and cin % 128 == 0 and cout % 128 == 0:
-            from mv3d_tf_tpu.ops.conv_s8_pallas import conv_requant_pallas
-            x = conv_requant_pallas(x, p, tile_rows=_s8_tile_rows(
-                x.shape[1], W=x.shape[2], C=cin, K=cout))
-        elif conv_impl in ("dots", "im2col"):
-            x = _conv_requant(x, p, impl=conv_impl)
-        else:
-            x = _conv_requant(x, p)
-        if pool:
-            x = vgg.max_pool_2x2_valid(x)
-    return x, qtrunk[vgg.VGG_LAYERS[-1][0]]["s_out"]
+    return _trunk_tail_int8(qtrunk, stem_q, conv_impl)
 
 
 def _s2d_stem_int8(params, qtrunk, x, suffix="", conv_impl="pallas"):
@@ -465,11 +505,29 @@ def _s2d_stem_int8(params, qtrunk, x, suffix="", conv_impl="pallas"):
     K2q = jnp.clip(jnp.round(K2f / s_w), -127, 127).astype(jnp.int8)
     kk = (s1 * s_w / s2).astype(jnp.float32)
     bb = (jnp.tile(p2["biases"], 4) / s2).astype(jnp.float32)
-    if conv_impl == "pallas" and jax.default_backend() in ("tpu", "axon"):
+    if (conv_impl in ("pallas", "hybrid")
+            and jax.default_backend() in ("tpu", "axon")):
+        # hybrid also takes the fused 2x2 kernel: the packed conv1_2
+        # runs at 300x300x256, squarely in the big-map boundary class
         C2p, K2p = K2.shape[2], K2.shape[3]
         z_q = conv2x2_s8_pallas(y_q, K2q, kk, bb,
                                 tile_rows=_s8_tile_rows(Ho, W=Wo,
                                                         C=C2p, K=K2p))
+    elif jax.default_backend() == "cpu":
+        # CPU: 2x2 VALID s8 conv as one im2col dot (XLA:CPU's s8 conv
+        # lowering is ~400x slower; bit-identical — see _conv_requant)
+        Bq, Hq, Wq, Cq = y_q.shape
+        cols = jnp.concatenate(
+            [y_q[:, dy:Hq - 1 + dy, dx:Wq - 1 + dx, :]
+             for dy in range(2) for dx in range(2)], axis=-1)
+        y32 = jax.lax.dot_general(
+            cols.reshape(-1, 4 * Cq),
+            K2q.reshape(4 * Cq, K2q.shape[-1]),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).reshape(
+                Bq, Hq - 1, Wq - 1, -1)
+        z_q = jnp.clip(jnp.round(y32.astype(jnp.float32) * kk + bb),
+                       0, 127).astype(jnp.int8)
     else:
         y32 = jax.lax.conv_general_dilated(
             y_q, K2q, (1, 1), "VALID",
@@ -511,7 +569,10 @@ def rpn_head_int8(params, feat_q, s_in, conv_impl="xla"):
         # is a 3x3 SAME stride-1 conv, legal for all three)
         if conv_impl == "dots":
             y32 = _conv_s8_dots(feat_q, w_q)
-        elif conv_impl == "im2col":
+        elif (conv_impl == "im2col"
+              or jax.default_backend() == "cpu"):
+            # CPU: XLA's s8 conv lowering is ~400x slower than im2col
+            # (bit-identical; see _conv_requant)
             y32 = _conv_s8_im2col(feat_q, w_q)
         else:
             y32 = _conv_s8(feat_q, w_q)

@@ -110,6 +110,19 @@ def train_net(imdb, roidb, output_dir, pretrained_model=None,
         rpn_nms_thresh=cfg.TRAIN.RPN_NMS_THRESH,
         rois_per_image=cfg.TRAIN.BATCH_SIZE,
         compute_dtype=compute_dtype)
+    if cfg.TRAIN.LR_DECAY:
+        # quality-mode staircase decay (see config.py TRAIN.LR_DECAY);
+        # iters below the first STEPSIZE boundary are bit-identical to
+        # the constant-1e-5 parity path (Adam's count is the only input
+        # to the schedule, and it rides in opt_state through
+        # checkpoint resume)
+        import optax
+        schedule = optax.exponential_decay(
+            init_value=1e-5, transition_steps=int(cfg.TRAIN.STEPSIZE),
+            decay_rate=float(cfg.TRAIN.GAMMA), staircase=True)
+        builder_kwargs["optimizer"] = optax.adam(schedule)
+        log("LR_DECAY on: 1e-5 * {}^(it // {})".format(
+            cfg.TRAIN.GAMMA, cfg.TRAIN.STEPSIZE))
     if device_data is not None:
         step, tx = build_train_step_cached(**builder_kwargs)
     else:
@@ -122,7 +135,34 @@ def train_net(imdb, roidb, output_dir, pretrained_model=None,
                                                   load_checkpoint)
         snap = latest_snapshot(output_dir)
         if snap is not None:
-            params, opt_state = load_checkpoint(snap, params, opt_state)
+            try:
+                params, opt_state = load_checkpoint(snap, params,
+                                                    opt_state)
+            except (ValueError, KeyError):
+                if not cfg.TRAIN.LR_DECAY:
+                    raise
+                # Turning LR_DECAY on mid-run: the snapshot holds a
+                # constant-lr Adam state (leaves [count, mu, nu]) but
+                # the schedule optimizer adds a trailing
+                # ScaleByScheduleState(count). Graft: reuse Adam's step
+                # count as the schedule count so the lr continues from
+                # the true iteration.
+                from mv3d_tf_tpu.utils.checkpoint import \
+                    load_checkpoint_host
+                restored = load_checkpoint_host(snap)
+                params = jax.tree.unflatten(jax.tree.structure(params),
+                                            jax.tree.leaves(
+                                                restored["params"]))
+                saved = jax.tree.leaves(restored["opt_state"])
+                want = len(jax.tree.leaves(opt_state))
+                assert want == len(saved) + 1, \
+                    "unexpected opt_state shapes: {} vs {}+1".format(
+                        want, len(saved))
+                opt_state = jax.tree.unflatten(
+                    jax.tree.structure(opt_state), saved + [saved[0]])
+                log("Grafted constant-lr Adam snapshot into the "
+                    "LR_DECAY optimizer (schedule count <- {})".format(
+                        int(np.asarray(saved[0]))))
             start_iter = int(snap.rsplit("_iter_", 1)[1])
             log("Resumed from {} (iter {})".format(snap, start_iter))
 

@@ -90,7 +90,8 @@ def build_forward_losses(feat_h=75, feat_w=75, pre_nms_top_n=12000,
                          post_nms_top_n=2000, rpn_nms_thresh=0.7,
                          rois_per_image=128, keep_prob=0.5,
                          compute_dtype=None, pool_impl="train",
-                         stem_impl=None, roi_chunk=None):
+                         stem_impl=None, roi_chunk=None,
+                         nms_impl="auto"):
     """Per-frame forward + 4-term loss as a pure function
     (params, batch, key) -> metrics dict.  vmap-able over frames for
     data-parallel training (parallel/mesh.py — which passes
@@ -135,7 +136,7 @@ def build_forward_losses(feat_h=75, feat_w=75, pre_nms_top_n=12000,
             jax.lax.stop_gradient(rpn_box.astype(jnp.float32)),
             batch["calib"], feat_h, feat_w,
             pre_nms_top_n=pre_nms_top_n, post_nms_top_n=post_nms_top_n,
-            nms_thresh=rpn_nms_thresh)
+            nms_thresh=rpn_nms_thresh, nms_impl=nms_impl)
 
         roi_data = proposal_target_layer_3d(
             k_roi, rois["rois_bv"], rois["rois_3d"], rois["valid"],
@@ -163,7 +164,8 @@ def build_forward_losses(feat_h=75, feat_w=75, pre_nms_top_n=12000,
 def build_train_step(feat_h=75, feat_w=75, pre_nms_top_n=12000,
                      post_nms_top_n=2000, rpn_nms_thresh=0.7,
                      rois_per_image=128, keep_prob=0.5, lr=1e-5,
-                     compute_dtype=None, optimizer=None, stem_impl=None):
+                     compute_dtype=None, optimizer=None, stem_impl=None,
+                     nms_impl="auto"):
     """Build (train_step, optimizer).  train_step is fully jitted.
 
     Batch dict (one frame, fixed shapes):
@@ -176,7 +178,8 @@ def build_train_step(feat_h=75, feat_w=75, pre_nms_top_n=12000,
         feat_h=feat_h, feat_w=feat_w, pre_nms_top_n=pre_nms_top_n,
         post_nms_top_n=post_nms_top_n, rpn_nms_thresh=rpn_nms_thresh,
         rois_per_image=rois_per_image, keep_prob=keep_prob,
-        compute_dtype=compute_dtype, stem_impl=stem_impl)
+        compute_dtype=compute_dtype, stem_impl=stem_impl,
+        nms_impl=nms_impl)
 
     # params + opt state (~1.5 GB f32) are donated: the updated pytrees
     # reuse the input buffers in place instead of allocating fresh HBM

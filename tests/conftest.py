@@ -3,6 +3,13 @@
 Multi-chip sharding is validated with XLA's host-platform fake devices
 (the driver separately dry-runs the real multi-chip path via
 __graft_entry__.dryrun_multichip).
+
+CAUTION: the slow tier spawns subprocesses on the REAL TPU
+(test_roi_pool_tpu re-exec, test_tools CLI drives) — the axon tunnel
+serializes one client at a time and a collision can wedge the worker
+(r5: a full-suite run degraded a concurrent training job's tunnel).
+Never run `pytest tests/` while another TPU process is live; the
+`-m "not slow"` tier is CPU-only and always safe.
 """
 
 import os

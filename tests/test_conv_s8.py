@@ -129,6 +129,44 @@ def test_trunk_int8_pallas_matches_xla():
     assert (np.asarray(f_xla) == np.asarray(f_pal)).all()
 
 
+def test_trunk_int8_hybrid_matches_xla():
+    """conv_impl='hybrid' (Pallas at conv2/conv3 incl. the channel-
+    padded conv2_1, XLA at conv4/conv5) is bit-identical to 'xla'
+    through both from-stem entry points — zero-padded input channels
+    contribute zero to the s32 accumulator."""
+    from mv3d_tf_tpu.models import vgg
+    rng = np.random.RandomState(4)
+    params = {}
+    c_in = 9
+    for name, c_out, _ in vgg.VGG_LAYERS:
+        params[name] = {
+            "weights": jnp.asarray(
+                rng.randn(3, 3, c_in, c_out).astype(np.float32) * 0.05),
+            "biases": jnp.asarray(
+                rng.rand(c_out).astype(np.float32) * 0.1)}
+        c_in = c_out
+    stem = jnp.asarray(rng.rand(1, 40, 24, 64).astype(np.float32) * 2)
+    frames = rng.rand(1, 80, 48, 9).astype(np.float32)
+    scales = Q.calibrate_trunk(params, frames)
+    qtrunk = Q.quantize_trunk(params, scales)
+
+    f_xla, s_xla = Q.trunk_apply_int8_from_stem(qtrunk, stem,
+                                                conv_impl="xla")
+    f_hyb, s_hyb = Q.trunk_apply_int8_from_stem(qtrunk, stem,
+                                                conv_impl="hybrid")
+    assert float(s_xla) == float(s_hyb)
+    assert (np.asarray(f_xla) == np.asarray(f_hyb)).all()
+    # already-quantized entry point (the s2d_int8 stem path)
+    s = qtrunk["conv1_2"]["s_out"]
+    stem_q = jnp.clip(jnp.round(stem.astype(jnp.float32) / s),
+                      0, 127).astype(jnp.int8)
+    g_xla, _ = Q.trunk_apply_int8_from_stem_q(qtrunk, stem_q,
+                                              conv_impl="xla")
+    g_hyb, _ = Q.trunk_apply_int8_from_stem_q(qtrunk, stem_q,
+                                              conv_impl="hybrid")
+    assert (np.asarray(g_xla) == np.asarray(g_hyb)).all()
+
+
 def _shipping_s8_conv_shapes():
     """Every (H, W, C, K, taps) the detect fast path can hand the Pallas
     s8 kernels, derived by the same shape arithmetic as the stem + trunk

@@ -21,8 +21,10 @@ def test_quantize_weights_roundtrip(rng):
     assert np.abs(w_q).max() == 127
 
 
-@pytest.fixture
-def small_params(rng):
+@pytest.fixture(scope="module")
+def small_params():
+    # module-scoped: init_params builds the ~400 MB fc stack (~14 s on
+    # this CPU) — once per file, not once per test; no test mutates it
     key = jax.random.PRNGKey(0)
     params = mv3d.init_params(key)
     # bump weights so activations have healthy dynamic range

@@ -181,3 +181,65 @@ def test_train_step_cached_matches_host_feed(rng):
         _, _, mh = step_h(p, o, bh, jax.random.PRNGKey(3))
         np.testing.assert_allclose(float(mc["loss"]), float(mh["loss"]),
                                    rtol=1e-6)
+
+
+def test_lr_decay_schedule_parity():
+    """cfg.TRAIN.LR_DECAY builds the staircase schedule the solver
+    advertises: constant 1e-5 below STEPSIZE (bit-parity with the
+    reference's hardcoded Adam lr, train_mv.py:144), GAMMA-stepped
+    after."""
+    import optax
+    from mv3d_tf_tpu.config import cfg
+    schedule = optax.exponential_decay(
+        init_value=1e-5, transition_steps=int(cfg.TRAIN.STEPSIZE),
+        decay_rate=float(cfg.TRAIN.GAMMA), staircase=True)
+    s = int(cfg.TRAIN.STEPSIZE)
+    np.testing.assert_allclose(float(schedule(0)), 1e-5, rtol=1e-6)
+    # constant below the boundary: f32-identical at 0 and STEPSIZE-1
+    assert float(schedule(s - 1)) == float(schedule(0))
+    np.testing.assert_allclose(float(schedule(s)), 1e-5 * cfg.TRAIN.GAMMA,
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(schedule(2 * s)),
+                               1e-5 * cfg.TRAIN.GAMMA ** 2, rtol=1e-6)
+
+
+def test_lr_decay_resume_graft(tmp_path):
+    """A constant-lr Adam snapshot grafts into the LR_DECAY (schedule)
+    optimizer: Adam count/mu/nu survive and the schedule count resumes
+    from the true iteration (solver.train_net's mid-run decay switch)."""
+    import jax
+    import optax
+    from mv3d_tf_tpu.utils.checkpoint import (load_checkpoint_host,
+                                              save_checkpoint)
+    p = {"a": jnp.arange(3.0), "b": {"w": jnp.ones((2, 2))}}
+    tx_const = optax.adam(1e-5)
+    s = tx_const.init(p)
+    # advance a few steps so count/mu/nu are nontrivial
+    for i in range(3):
+        g = jax.tree.map(lambda x: x * 0 + 0.1 * (i + 1), p)
+        up, s = tx_const.update(g, s, p)
+        p = optax.apply_updates(p, up)
+    path = save_checkpoint(str(tmp_path), 3, p, s)
+
+    sched = optax.exponential_decay(1e-5, 2, 0.1, staircase=True)
+    tx_sched = optax.adam(sched)
+    template = tx_sched.init(p)
+    restored = load_checkpoint_host(path)
+    saved = jax.tree.leaves(restored["opt_state"])
+    want = len(jax.tree.leaves(template))
+    assert want == len(saved) + 1
+    grafted = jax.tree.unflatten(jax.tree.structure(template),
+                                 saved + [saved[0]])
+    # adam state intact
+    np.testing.assert_array_equal(np.asarray(grafted[0].count), 3)
+    for a, b in zip(jax.tree.leaves(grafted[0]), jax.tree.leaves(s[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # schedule count continues from the snapshot iteration
+    assert int(np.asarray(jax.tree.leaves(grafted[1])[0])) == 3
+    # and the next update uses the DECAYED lr (count 3 >= stepsize 2)
+    g = jax.tree.map(jnp.ones_like, p)
+    up, _ = tx_sched.update(g, grafted, p)
+    up_const, _ = tx_const.update(g, s, p)
+    r = (np.abs(np.asarray(up["a"])).mean()
+         / np.abs(np.asarray(up_const["a"])).mean())
+    np.testing.assert_allclose(r, 0.1, rtol=1e-4)

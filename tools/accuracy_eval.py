@@ -52,6 +52,14 @@ def main():
                     help="override cfg.TPU.TRAIN_DATA_HBM_GB (device-"
                          "resident train-set budget; above it the solver "
                          "falls back to the ~2 s/iter host feed)")
+    ap.add_argument("--lr-decay", action="store_true",
+                    help="quality mode: staircase lr decay "
+                         "1e-5 * GAMMA^(it // stepsize) (parity mode "
+                         "keeps the reference's constant 1e-5)")
+    ap.add_argument("--stepsize", type=int, default=None,
+                    help="override cfg.TRAIN.STEPSIZE for --lr-decay")
+    ap.add_argument("--gamma", type=float, default=None,
+                    help="override cfg.TRAIN.GAMMA for --lr-decay")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +81,12 @@ def main():
                                "faster_rcnn_end2end.yml"))
     if args.data_hbm_gb is not None:
         cfg.TPU.TRAIN_DATA_HBM_GB = args.data_hbm_gb
+    if args.lr_decay:
+        cfg.TRAIN.LR_DECAY = True
+        if args.stepsize is not None:
+            cfg.TRAIN.STEPSIZE = args.stepsize
+        if args.gamma is not None:
+            cfg.TRAIN.GAMMA = args.gamma
     from mv3d_tf_tpu.data import synthetic
     from mv3d_tf_tpu.data.kitti import KittiMV3D, prepare_roidb
     from mv3d_tf_tpu.data.kitti_eval import (evaluate_kitti_bev,
