@@ -30,6 +30,13 @@ _SCALAR_BARRIER = False
 # tests can shrink it to force the chunked path (ADVICE r4).
 _R_MAX = 4800
 
+# Column-bin window width (see CWIN comment in the kernel). Module-level
+# so bench_ab can A/B it: 8 = the minimum Mosaic-alignable window, ~2x
+# less masked select/reduce work per bin than 16 for the typical 1-3
+# feature-cell bin, at the cost of an extra segment iteration when a bin
+# straddles an 8-boundary.
+_CWIN = 16
+
 
 def _bin_bounds(rois, pooled, spatial_scale, H, W):
     """Integer-exact bin bounds, identical to ops/roi_pool.py."""
@@ -159,7 +166,7 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
     # the kernel's dominant VPU cost, 49 bins/roi, so a 16-wide window
     # does ~2.5x less select/reduce work than the old worst-case-sized
     # WIN=40 while wide bins just take extra segments.
-    CWIN = min(W_pad, 16)
+    CWIN = min(W_pad, _CWIN)
     # row-max window: the H-reduction only needs the roi's COLUMN span,
     # not the full padded width (a car roi spans ~5-8 BEV / ~15-20 image
     # cells of W_pad = 80 / 160). RWIN covers a typical roi in ONE

@@ -131,6 +131,25 @@ def test_pallas_kernel_multi_roi_blocks_interpret(rng):
     np.testing.assert_array_equal(got, base)
 
 
+def test_pallas_cwin8_matches_interpret(rng, monkeypatch):
+    """_CWIN=8 (the narrow column-bin window bench_ab --pool-cwin A/Bs)
+    is bit-identical to the default 16 — bins straddling an 8-boundary
+    just take an extra masked segment."""
+    from mv3d_tf_tpu.ops import roi_pool_pallas as rpp
+    feats = rng.randn(2, 20, 24, 8).astype(np.float32)
+    rois = _rand_rois(rng, 12, 160, 192)
+    rois[6:, 0] = 1
+    base = np.asarray(rpp.roi_pool_pallas(feats, rois, spatial_scale=1 / 8,
+                                          interpret=True, rois_per_step=6))
+    monkeypatch.setattr(rpp, "_CWIN", 8)
+    got = np.asarray(
+        rpp.roi_pool_pallas.__wrapped__(feats, rois, spatial_scale=1 / 8,
+                                        pooled=7, max_in_h=None,
+                                        max_in_w=None, interpret=True,
+                                        rois_per_step=6))
+    np.testing.assert_array_equal(got, base)
+
+
 def test_roi_pool_chunked_matches(rng):
     feat = rng.randn(20, 24, 8).astype(np.float32)
     rois = _rand_rois(rng, 50, 160, 192)

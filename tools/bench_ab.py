@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--rois-per-step", type=int, default=12,
                     help="Pallas ROI-pool roi block size (divisor of "
                          "post_nms_top_n=300)")
+    ap.add_argument("--pool-cwin", type=int, default=None,
+                    help="Pallas ROI-pool column-bin window width "
+                         "(multiple of 8; default 16, 8 halves the "
+                         "masked reduce work for typical 1-3 cell bins)")
     ap.add_argument("--pre-nms", type=int, default=None,
                     help="pre-NMS top-K (defaults: detect 6000 / train "
                          "12000, the reference cfg budgets; the recall "
@@ -69,6 +73,10 @@ def main():
 
     log("device:", jax.devices()[0], "stem:", args.stem,
         "batch:", args.batch, "int8:", args.int8)
+    if args.pool_cwin is not None:
+        from mv3d_tf_tpu.ops import roi_pool_pallas as _rpp
+        _rpp._CWIN = args.pool_cwin
+        log("pool CWIN:", args.pool_cwin)
     stem_impl = None
     if args.stem == "xla":
         E._fused_stem = lambda dtype: False
