@@ -88,6 +88,10 @@ def main():
     ap.add_argument("--stem", default="s2d_int8")
     ap.add_argument("--int8", action="store_true", default=True)
     ap.add_argument("--int8-head", action="store_true")
+    ap.add_argument("--int8-rpn", action="store_true")
+    ap.add_argument("--pre-nms", type=int, default=None,
+                    help="pre-NMS top-K (default 6000; the headline "
+                         "knee config runs 1024)")
     ap.add_argument("--rois-per-step", type=int, default=12)
     ap.add_argument("--nms", default="auto",
                     choices=["auto", "blocked_fixed"])
@@ -140,7 +144,9 @@ def main():
                                      pooled_img=pool_img)
     detect = build_detect_batch_fn(
         quant=qstate, stem_impl=args.stem,
-        rois_per_step=args.rois_per_step, nms_impl=args.nms)
+        rois_per_step=args.rois_per_step, nms_impl=args.nms,
+        quant_rpn=args.int8_rpn,
+        pre_nms_top_n=(args.pre_nms if args.pre_nms else 6000))
 
     def run():
         out = detect(params, bev, image, calib)
