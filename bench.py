@@ -185,27 +185,28 @@ def main():
     import subprocess
     import os.path as _osp
     here = _osp.dirname(_osp.abspath(__file__))
-    # r5 probe set: the r4 headline config (all-int8 + blocked_fixed
-    # NMS, ab_nmsfixed_b16.log 147.6 fps) PLUS the pre-NMS 6000->1024
-    # knee, which is worth +20 fps under blocked_fixed (the blocked
-    # sweep scales with nblk: ab_nmsfixed_knee1024_b16.log, 167.9 fps,
-    # 16/16 certificates). Accuracy gate for the exact knee config:
-    # tools/quant_check.py --pre-nms 1024 --nms blocked_fixed
-    # (keep-set agreement + AP battery on the trained snapshot:
-    # experiments/results/r4/prenms_knee_trained.log + the r5 gate log).
-    # The list is trimmed to 2 configs (VERDICT r4 #9: probe-set growth
-    # was the main bench cold-start cost); a probe that crashes or
-    # fails its NMS certificate exits non-zero and is discarded.
+    # r5 probe set: the knee config at its measured-best occupancy, b32
+    # (177.5 fps, ab_knee_b32.log; the b8/16/24/32/48 sweep peaks there
+    # and b64 OOMs HBM at compile), with the b16 variant (167.1 fps,
+    # ab_knee_b16.log) as the fallback. Accuracy gate for the exact
+    # knee config: tools/quant_check.py --pre-nms 1024 --nms
+    # blocked_fixed (keep-set agreement + widened AP battery on the
+    # trained snapshot: experiments/results/r4/prenms_knee_trained.log
+    # + the r5 gate log). The list stays at 2 configs (VERDICT r4 #9:
+    # probe-set growth was the main bench cold-start cost); a probe
+    # that crashes or fails its NMS certificate exits non-zero and is
+    # discarded.
     probes = [
+        ("s2d_int8 + int8 trunks/pool/head/rpn + fixed-NMS + knee1024, "
+         "b32",
+         ["--int8", "--conv-impl", "xla", "--stem", "s2d_int8",
+          "--int8-head", "--int8-rpn", "--nms", "blocked_fixed",
+          "--pre-nms", "1024", "--batch", "32"]),
         ("s2d_int8 + int8 trunks/pool/head/rpn + fixed-NMS + knee1024, "
          "b16",
          ["--int8", "--conv-impl", "xla", "--stem", "s2d_int8",
           "--int8-head", "--int8-rpn", "--nms", "blocked_fixed",
           "--pre-nms", "1024", "--batch", "16"]),
-        ("s2d_int8 + int8 trunks/pool/head/rpn + fixed-NMS, b16",
-         ["--int8", "--conv-impl", "xla", "--stem", "s2d_int8",
-          "--int8-head", "--int8-rpn", "--nms", "blocked_fixed",
-          "--batch", "16"]),
     ]
     for name, flags in probes:
         # global budget: never let cold-cache probe compiles push the
