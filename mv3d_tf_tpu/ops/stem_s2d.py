@@ -156,5 +156,15 @@ def stem_s2d(x, w1, b1, w2, b2, dtype=None):
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
     z = jax.nn.relu(z + B2)
 
-    # pool1 = max over the 4 subpixel groups
-    return z.reshape(B, Ho, Wo, 4, C2).max(axis=3)
+    # pool1 = max over the 4 subpixel groups — as an elementwise max of
+    # channel-block slices, not reshape+reduce_max: XLA assigns
+    # reduce_max a layout ({2,3,1,0}) incompatible with the convs'
+    # ({3,0,2,1}) and brackets it with full-tensor layout copies
+    # (~12.8 ms/b32 on the int8 twin, trace_knee_b32.log). Slices +
+    # jnp.maximum fuse layout-free. Forward is bit-identical; the VJP
+    # differs only on 3-way ties (pairwise tournament splits 1/4,1/4,
+    # 1/2 vs reduce_max's even 1/3 — measure-zero, mass-conserving).
+    m = z[..., 0 * C2:1 * C2]
+    for g in range(1, 4):
+        m = jnp.maximum(m, z[..., g * C2:(g + 1) * C2])
+    return m

@@ -535,7 +535,16 @@ def _s2d_stem_int8(params, qtrunk, x, suffix="", conv_impl="pallas"):
         z_q = jnp.clip(jnp.round(y32.astype(jnp.float32) * kk + bb),
                        0, 127).astype(jnp.int8)
     C2 = p2["weights"].shape[3]
-    stem_q = z_q.reshape(B, Ho, Wo, 4, C2).max(axis=3)
+    # 4-group phase max as an elementwise max of channel-block slices,
+    # NOT reshape+reduce_max: the b32 trace showed XLA assigning
+    # reduce_max a {2,3,1,0} layout against the convs' {3,0,2,1},
+    # bracketing the stem output with ~12.8 ms/b32 of pure layout
+    # copies (copy.312/.313/.362/.363, trace_knee_b32.log). Slices on
+    # the minor dim + jnp.maximum are layout-agnostic and fuse;
+    # bit-identical (same 4 ints per output).
+    stem_q = z_q[..., 0 * C2:1 * C2]
+    for g in range(1, 4):
+        stem_q = jnp.maximum(stem_q, z_q[..., g * C2:(g + 1) * C2])
     return stem_q, s2
 
 
