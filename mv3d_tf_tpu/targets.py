@@ -100,8 +100,18 @@ def anchor_target_layer(key, gt_boxes_bv, gt_valid, gt_boxes_3d,
     labels = jnp.where(bg_sel, 0, labels)
     labels = jnp.where(fg_sel, 1, labels)
 
-    # 6-dof targets vs the argmax gt for every inside anchor, 0 elsewhere
-    tgt = G.bbox_transform_3d(anchors_3d, gt_boxes_3d[argmax_overlaps, :6])
+    # 6-dof targets vs the argmax gt for every inside anchor, 0 elsewhere.
+    # The gt row lookup is a where-chain over the MAX_GT(=8) rows, NOT
+    # gt_boxes_3d[argmax_overlaps]: XLA:TPU lowers that (22500,)-index
+    # gather of (8,7) rows to a SERIAL 22500-trip while loop of
+    # dynamic-slices — ~47 ms of the ~82 ms train step (trace_train,
+    # while.21/dynamic-slice.81 at this source line). The select chain
+    # is 8 vectorized compares, bit-identical output.
+    gt6 = gt_boxes_3d[:, :6]
+    picked = jnp.broadcast_to(gt6[0], (argmax_overlaps.shape[0], 6))
+    for g in range(1, gt6.shape[0]):
+        picked = jnp.where((argmax_overlaps == g)[:, None], gt6[g], picked)
+    tgt = G.bbox_transform_3d(anchors_3d, picked)
     bbox_targets = jnp.where(inside[:, None], tgt, 0.0)
     return labels, bbox_targets
 
