@@ -59,15 +59,23 @@ def evaluate_bev_ap(all_dets, gt_boxes_per_image, iou_thresh=0.7):
             "num_gt": npos}
 
 
-def evaluate_kitti_bev(imdb, all_boxes, iou_thresh=0.7, cls_ind=1):
-    """Convenience wrapper: detections vs an imdb's gt BEV boxes."""
+def evaluate_kitti_bev(imdb, all_boxes, iou_thresh=0.7, cls_ind=1,
+                       num_frames=None):
+    """Convenience wrapper: detections vs an imdb's gt BEV boxes.
+
+    num_frames limits scoring to the first N frames — partial-split
+    drivers (tools/quant_check.py detects a subset of val) must pass it
+    or the undetected frames' gt dilutes recall (a 128-of-256 run
+    otherwise caps AP at ~0.5x)."""
+    n = imdb.num_images if num_frames is None else min(num_frames,
+                                                       imdb.num_images)
     gts = []
-    for i in range(imdb.num_images):
+    for i in range(n):
         entry = imdb.roidb[i]
         mask = entry["gt_classes"] == cls_ind
         gts.append(entry["boxes_bv"][mask])
     dets = [np.asarray(all_boxes[cls_ind][i]).reshape(-1, 5)
-            for i in range(imdb.num_images)]
+            for i in range(n)]
     return evaluate_bev_ap(dets, gts, iou_thresh)
 
 
@@ -275,7 +283,8 @@ def evaluate_kitti_official(imdb, all_boxes, all_boxes_cnr, cls_ind=1,
                             iou_2d_thresh=0.7, iou_bev_thresh=0.7,
                             iou_3d_thresh=0.7, log=print,
                             projection="legacy",
-                            derive_bev_from_corners=False, label=None):
+                            derive_bev_from_corners=False, label=None,
+                            num_frames=None):
     """The 3 metric x 3 difficulty AP table for one class.
 
     all_boxes[cls][i]: (N,5) BEV dets [x1,y1,x2,y2,score];
@@ -302,8 +311,10 @@ def evaluate_kitti_official(imdb, all_boxes, all_boxes_cnr, cls_ind=1,
 
     proj = functools.partial(_lidar_cnr_to_img_np,
                              legacy=(projection == "legacy"))
+    n = imdb.num_images if num_frames is None else min(num_frames,
+                                                       imdb.num_images)
     frames_2d, frames_bev, frames_3d = [], [], []
-    for i in range(imdb.num_images):
+    for i in range(n):
         entry = imdb.roidb[i]
         m = entry["gt_classes"] == cls_ind
         g2 = entry["boxes"][m]

@@ -179,8 +179,8 @@ def main():
     for p, name in (("f", "bf16"), ("q", "int8")):
         for thr in (0.5, 0.7):
             res["ap{}_{}".format(thr, name)] = round(float(
-                evaluate_kitti_bev(val_imdb, boxes[p],
-                                   iou_thresh=thr)["ap"]), 4)
+                evaluate_kitti_bev(val_imdb, boxes[p], iou_thresh=thr,
+                                   num_frames=n_val)["ap"]), 4)
         if not args.skip_3d:
             # quality-regressed table: REGRESSED corners, proper
             # projection, footprint-vs-footprint BEV (accuracy_eval.py's
@@ -188,7 +188,7 @@ def main():
             tq = evaluate_kitti_official(
                 val_imdb, boxes[p], cnr_r[p], log=quiet,
                 projection="proper", derive_bev_from_corners=True,
-                label="quality/" + name)
+                label="quality/" + name, num_frames=n_val)
             res["q3d_hard_" + name] = round(float(tq["3d"]["hard"]), 4)
             res["qbev_hard_" + name] = round(float(tq["bev"]["hard"]), 4)
     log("BEV AP@0.5: bf16 {} int8 {}".format(res["ap0.5_bf16"],
