@@ -156,6 +156,12 @@ __C.TPU.EVAL_BATCH = 8
 # f32) on the step's critical path — measured 1.4-2.2 s/iter over the
 # axon tunnel vs 86 ms/iter device-resident (r3 accuracy run).
 __C.TPU.TRAIN_DATA_HBM_GB = 6.0
+# train-graph conv1 stem: '' = the literal VGG stem (parity default);
+# 's2d' = the space-to-depth packed stem (ops/stem_s2d.py), measured
+# 54.4 -> 44.4 ms/iter (ab_train_gatherfix_s2d.log). Gradient-equivalent
+# but not bit-identical — quality-mode opt-in, certified by a trajectory
+# segment (experiments/results/r5/accuracy_q_s2d15k artifacts).
+__C.TPU.TRAIN_STEM = ''
 
 
 def get_cfg():

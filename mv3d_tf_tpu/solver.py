@@ -109,7 +109,8 @@ def train_net(imdb, roidb, output_dir, pretrained_model=None,
         post_nms_top_n=cfg.TRAIN.RPN_POST_NMS_TOP_N,
         rpn_nms_thresh=cfg.TRAIN.RPN_NMS_THRESH,
         rois_per_image=cfg.TRAIN.BATCH_SIZE,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype,
+        stem_impl=(cfg.TPU.TRAIN_STEM or None))
     if cfg.TRAIN.LR_DECAY:
         # quality-mode staircase decay (see config.py TRAIN.LR_DECAY);
         # iters below the first STEPSIZE boundary are bit-identical to

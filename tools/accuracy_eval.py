@@ -60,6 +60,10 @@ def main():
                     help="override cfg.TRAIN.STEPSIZE for --lr-decay")
     ap.add_argument("--gamma", type=float, default=None,
                     help="override cfg.TRAIN.GAMMA for --lr-decay")
+    ap.add_argument("--train-stem", default=None, choices=[None, "s2d"],
+                    help="cfg.TPU.TRAIN_STEM: 's2d' = packed stem train "
+                         "graph (quality-mode lever, 54.4 -> 44.4 "
+                         "ms/iter; certify via this run's trajectory)")
     args = ap.parse_args()
 
     import jax
@@ -87,6 +91,8 @@ def main():
             cfg.TRAIN.STEPSIZE = args.stepsize
         if args.gamma is not None:
             cfg.TRAIN.GAMMA = args.gamma
+    if args.train_stem:
+        cfg.TPU.TRAIN_STEM = args.train_stem
     from mv3d_tf_tpu.data import synthetic
     from mv3d_tf_tpu.data.kitti import KittiMV3D, prepare_roidb
     from mv3d_tf_tpu.data.kitti_eval import (evaluate_kitti_bev,
