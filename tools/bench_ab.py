@@ -107,12 +107,21 @@ def main():
     quant = None
     if args.int8:
         from mv3d_tf_tpu import quant as Q
-        img_ms = np.asarray(image) - E.PIXEL_MEANS
+        # calibrate on a FIXED 4-frame slice, not the full bench batch:
+        # the B-shaped calibration graphs dominated probe wall time
+        # (~14 min/process at b32, measured — detect itself cache-hits
+        # in seconds) and changed HLO with every batch size. A fixed
+        # slice gives one cached calibration compile and batch-invariant
+        # scales; accuracy gating calibrates separately on real frames
+        # (tools/quant_check.py --calib_frames).
+        nc = min(4, args.batch)
+        img_ms = np.asarray(image)[:nc] - E.PIXEL_MEANS
+        bev_c = np.asarray(bev)[:nc]
         pool_bv = pool_img = None
         if args.int8_head:
             pool_bv, pool_img = Q.calibrate_pooled_features(
-                params, np.asarray(bev), img_ms, np.asarray(calib))
-        quant = Q.build_quant_state(params, np.asarray(bev), img_ms,
+                params, bev_c, img_ms, np.asarray(calib)[:nc])
+        quant = Q.build_quant_state(params, bev_c, img_ms,
                                     pooled_bv=pool_bv,
                                     pooled_img=pool_img)
     detect = E.build_detect_batch_fn(compute_dtype=jnp.bfloat16,
