@@ -37,6 +37,13 @@ _R_MAX = 4800
 # straddles an 8-boundary.
 _CWIN = 16
 
+# Shared-window bin stage (r5): the 7 column bins of one pooled row tile
+# a CONTIGUOUS span, so one aligned RWIN read per (ph, segment) can feed
+# all 7 bins with static masked reduces — ~7x fewer dynamic slices and
+# no acc-scratch round-trip vs the per-bin CWIN windows. The per-bin
+# path stays for A/B (bench_ab --pool-bins window).
+_SHARED_BINS = True
+
 
 def _bin_bounds(rois, pooled, spatial_scale, H, W):
     """Integer-exact bin bounds, identical to ops/roi_pool.py."""
@@ -182,6 +189,54 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
         # boundaries (~B*C/CT fetches) instead of every step
         base_r = pl.program_id(1) * RT
         iota_cwin = jax.lax.broadcasted_iota(jnp.int32, (CWIN, 1), 0)
+        iota_rwin = jax.lax.broadcasted_iota(jnp.int32, (RWIN, 1), 0)
+
+        def one_roi_shared(rr, _):
+            # shared-window bin stage (_SHARED_BINS): the kernel's cost
+            # is SEQUENCING, not ALU — 49 bins/roi each paying a dynamic
+            # slice + a trip-counted fori. Here each (ph, segment) does
+            # ONE row-reduced aligned RWIN window and all 7 column bins
+            # consume it via static masked reduces (bin bounds are
+            # monotone, so the bins tile the roi span the segments walk).
+            # No acc scratch: the segment max feeds the bins directly.
+            r = base_r + rr
+            span0 = ws_ref[0, r]
+            span1 = we_ref[pooled - 1, r]
+            span_base = jnp.clip((span0 // 8) * 8, 0, W_pad - RWIN)
+            nseg = jnp.maximum(1, (span1 - span_base + RWIN - 1) // RWIN)
+            negf = jnp.full((RWIN, CT), neg, red_dt)
+            for ph in range(pooled):
+                h0 = hs_ref[ph, r]
+                h1 = he_ref[ph, r]
+
+                def seg_body(s, bins):
+                    off = jnp.clip(span_base + s * RWIN, 0, W_pad - RWIN)
+                    off = pl.multiple_of(off, 8)
+                    a = jax.lax.fori_loop(
+                        h0, h1,
+                        lambda h, a: jnp.maximum(
+                            a, feat_ref[0, h, pl.ds(off, RWIN), :]
+                            .astype(red_dt)),
+                        negf)
+                    offs = iota_rwin + off
+                    new = []
+                    for pw in range(pooled):
+                        mask = (offs >= ws_ref[pw, r]) & (offs < we_ref[pw, r])
+                        m = jnp.max(jnp.where(mask, a, negf),
+                                    axis=0, keepdims=True)
+                        new.append(jnp.maximum(bins[pw], m))
+                    return tuple(new)
+
+                bins = jax.lax.fori_loop(
+                    0, nseg, seg_body,
+                    tuple(jnp.full((1, CT), neg, red_dt)
+                          for _ in range(pooled)))
+                for pw in range(pooled):
+                    empty = (h1 <= h0) | (we_ref[pw, r] <= ws_ref[pw, r])
+                    out_ref[rr, ph, pw, :] = jnp.where(
+                        empty, jnp.zeros((CT,), dtype),
+                        bins[pw][0].astype(dtype))
+            return 0
 
         def one_roi(rr, _):
             r = base_r + rr
@@ -239,10 +294,11 @@ def roi_pool_pallas(feat, rois, pooled=7, spatial_scale=1.0 / 8,
                         empty, jnp.zeros((CT,), dtype), m)
             return 0
 
+        body = one_roi_shared if _SHARED_BINS else one_roi
         if RT == 1:
-            one_roi(0, 0)
+            body(0, 0)
         else:
-            jax.lax.fori_loop(0, RT, one_roi, 0)
+            jax.lax.fori_loop(0, RT, body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,

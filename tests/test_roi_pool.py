@@ -150,6 +150,31 @@ def test_pallas_cwin8_matches_interpret(rng, monkeypatch):
     np.testing.assert_array_equal(got, base)
 
 
+def test_pallas_shared_bins_matches_window_interpret(rng, monkeypatch):
+    """The r5 shared-window bin stage (_SHARED_BINS, one aligned RWIN
+    read feeding all 7 column bins) is bit-identical to the per-bin
+    CWIN-window stage — including rois wider than RWIN=32 feature cells
+    (multi-segment accumulation) and the oracle."""
+    from mv3d_tf_tpu.ops import roi_pool_pallas as rpp
+    feats = rng.randn(2, 12, 64, 8).astype(np.float32)
+    rois = _rand_rois(rng, 8, 96, 512)
+    # two rois spanning ~56 feature cells -> 2 RWIN segments
+    rois[0] = [0, 8, 8, 460, 60]
+    rois[4] = [1, 0, 0, 440, 88]
+    rois[4:, 0] = 1
+    shared = np.asarray(rpp.roi_pool_pallas(
+        feats, rois, spatial_scale=1 / 8, interpret=True, rois_per_step=4))
+    monkeypatch.setattr(rpp, "_SHARED_BINS", False)
+    window = np.asarray(rpp.roi_pool_pallas.__wrapped__(
+        feats, rois, spatial_scale=1 / 8, pooled=7, max_in_h=None,
+        max_in_w=None, interpret=True, rois_per_step=4))
+    np.testing.assert_array_equal(shared, window)
+    oracle = np.concatenate([
+        roi_pool_np(feats[0], rois[:4], spatial_scale=1 / 8),
+        roi_pool_np(feats[1], rois[4:], spatial_scale=1 / 8)])
+    np.testing.assert_array_equal(shared, oracle)
+
+
 def test_roi_pool_chunked_matches(rng):
     feat = rng.randn(20, 24, 8).astype(np.float32)
     rois = _rand_rois(rng, 50, 160, 192)

@@ -45,6 +45,11 @@ def main():
                     help="Pallas ROI-pool column-bin window width "
                          "(multiple of 8; default 16, 8 halves the "
                          "masked reduce work for typical 1-3 cell bins)")
+    ap.add_argument("--pool-bins", default=None,
+                    choices=["shared", "window"],
+                    help="Pallas ROI-pool column-bin stage: shared = one "
+                         "RWIN window feeds all 7 bins (r5 default); "
+                         "window = per-bin CWIN windows (r4)")
     ap.add_argument("--pre-nms", type=int, default=None,
                     help="pre-NMS top-K (defaults: detect 6000 / train "
                          "12000, the reference cfg budgets; the recall "
@@ -77,6 +82,10 @@ def main():
         from mv3d_tf_tpu.ops import roi_pool_pallas as _rpp
         _rpp._CWIN = args.pool_cwin
         log("pool CWIN:", args.pool_cwin)
+    if args.pool_bins is not None:
+        from mv3d_tf_tpu.ops import roi_pool_pallas as _rpp
+        _rpp._SHARED_BINS = args.pool_bins == "shared"
+        log("pool bins:", args.pool_bins)
     stem_impl = None
     if args.stem == "xla":
         E._fused_stem = lambda dtype: False
