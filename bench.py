@@ -186,9 +186,10 @@ def main():
     import os.path as _osp
     here = _osp.dirname(_osp.abspath(__file__))
     # r5 probe set: the knee config at its measured-best occupancy, b32
-    # (177.5 fps, ab_knee_b32.log; the b8/16/24/32/48 sweep peaks there
-    # and b64 OOMs HBM at compile), with the b16 variant (167.1 fps,
-    # ab_knee_b16.log) as the fallback. Accuracy gate for the exact
+    # (209.1 fps with the shared-bins pool, ab_sharedbins_knee_b32.log;
+    # the b8/16/24/32/48 sweep peaks there and b64 OOMs HBM at
+    # compile), with the b16 variant (194.7 fps,
+    # ab_sharedbins_knee_b16.log) as the fallback. Accuracy gate for the exact
     # knee config: tools/quant_check.py --pre-nms 1024 --nms
     # blocked_fixed (keep-set agreement + widened AP battery on the
     # trained snapshot: experiments/results/r4/prenms_knee_trained.log
